@@ -1,0 +1,201 @@
+"""Declarative experiment configs (plain dataclasses — no registry/string
+dispatch labyrinth; the reference's mmcv config dicts are documented in
+SURVEY.md §2.8 and reproduced here as typed presets).
+
+Hyperparameters cited from `projects/configs/petr/*.py` (sty61010/PETR).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+NUSCENES_CLASSES = (
+    "car", "truck", "construction_vehicle", "bus", "trailer", "barrier",
+    "motorcycle", "bicycle", "pedestrian", "traffic_cone",
+)
+
+PC_RANGE = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+POSITION_RANGE = (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneConfig:
+    kind: str = "vovnet"  # 'vovnet' | 'resnet'
+    spec: str = "V-99-eSE"  # vovnet spec or resnet depth via 'r50'
+    out_indices: Tuple[int, ...] = (2, 3)
+    dcn_stages: Tuple[int, ...] = ()
+    with_fpn: bool = True
+    fpn_out_channels: int = 256
+    fpn_num_outs: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class HeadConfig:
+    num_classes: int = 10
+    num_query: int = 900
+    embed_dim: int = 256
+    num_layers: int = 6
+    num_heads: int = 8
+    ffn_dim: int = 2048
+    code_size: int = 10
+    depth_num: int = 64
+    depth_start: float = 1.0
+    depth_mode: str = "LID"
+    with_multiview: bool = True
+    position_range: Tuple[float, ...] = POSITION_RANGE
+    pc_range: Tuple[float, ...] = PC_RANGE
+    dropout_rate: float = 0.1
+    shared_branches: bool = True
+    # v2 extensions
+    with_fpe: bool = False
+    with_time: bool = False
+    with_multi_reg: bool = False
+    position_level: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    backbone: BackboneConfig = BackboneConfig()
+    head: HeadConfig = HeadConfig()
+    use_grid_mask: bool = True
+    # which FPN level feeds the head (reference position_level, petr_head.py:183)
+    head_feat_level: int = 0
+    compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    image_size: Tuple[int, int] = (320, 800)  # (H, W) final padded size
+    num_views: int = 6
+    num_frames: int = 1  # 2 for PETRv2
+    max_gt: int = 128
+    # image normalization (BGR order as the reference's caffe-style models)
+    mean: Tuple[float, float, float] = (103.530, 116.280, 123.675)
+    std: Tuple[float, float, float] = (57.375, 57.120, 58.395)
+    to_rgb: bool = False
+    # IDA augmentation (ResizeCropFlipImage, transform_3d.py:362-465)
+    resize_lim: Tuple[float, float] = (0.47, 0.625)
+    final_dim: Tuple[int, int] = (320, 800)
+    bot_pct_lim: Tuple[float, float] = (0.0, 0.0)
+    rot_lim: Tuple[float, float] = (0.0, 0.0)
+    rand_flip: bool = True
+    # BEV-space aug (GlobalRotScaleTransImage, transform_3d.py:468-548)
+    bev_rot_range: Tuple[float, float] = (-0.3925, 0.3925)
+    bev_scale_range: Tuple[float, float] = (0.95, 1.05)
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    lr: float = 2e-4
+    backbone_lr_mult: float = 0.1
+    weight_decay: float = 0.01
+    grad_clip_norm: float = 35.0
+    epochs: int = 24
+    warmup_iters: int = 500
+    warmup_ratio: float = 1.0 / 3.0
+    min_lr_ratio: float = 1e-3
+    batch_size_per_device: int = 1
+    # loss weights (petr_vovnet_gridmask_p4_800x320.py:95-107,117-120)
+    cls_weight: float = 2.0
+    bbox_weight: float = 0.25
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    code_weights: Tuple[float, ...] = (1.0,) * 8 + (0.2, 0.2)
+    sync_cls_avg_factor: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    optim: OptimConfig = OptimConfig()
+    seed: int = 0
+    log_every: int = 50
+    ckpt_every_epochs: int = 1
+    max_keep_ckpts: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "petr_vov_p4_800x320"
+    model: ModelConfig = ModelConfig()
+    data: DataConfig = DataConfig()
+    train: TrainConfig = TrainConfig()
+    # NMS-free decoding (NMSFreeCoder, configs :90-97)
+    max_det: int = 300
+    post_center_range: Tuple[float, ...] = POSITION_RANGE
+    score_threshold: Optional[float] = None
+
+
+def _r50(out_indices, dcn=(2, 3)):
+    return BackboneConfig(
+        kind="resnet", spec="r50", out_indices=out_indices, dcn_stages=dcn,
+        with_fpn=len(out_indices) > 1,
+        fpn_num_outs=len(out_indices),
+    )
+
+
+_CONFIGS: Dict[str, ExperimentConfig] = {}
+
+
+def _register(cfg: ExperimentConfig) -> ExperimentConfig:
+    _CONFIGS[cfg.name] = cfg
+    return cfg
+
+
+# --- PETR presets (SURVEY.md §2.8) -----------------------------------------
+
+_register(ExperimentConfig(
+    name="petr_vov_p4_800x320",
+    model=ModelConfig(backbone=BackboneConfig()),
+    data=DataConfig(),
+))
+
+_register(ExperimentConfig(
+    name="petr_vov_p4_1600x640",
+    model=ModelConfig(backbone=BackboneConfig()),
+    data=DataConfig(
+        image_size=(640, 1600), resize_lim=(0.94, 1.25), final_dim=(640, 1600)
+    ),
+))
+
+_register(ExperimentConfig(
+    name="petr_r50_c5_1408x512",
+    model=ModelConfig(backbone=_r50((3,))),
+    data=DataConfig(
+        image_size=(512, 1408),
+        mean=(103.530, 116.280, 123.675), std=(1.0, 1.0, 1.0),
+        resize_lim=(0.8, 1.0), final_dim=(512, 1408),
+    ),
+))
+
+_register(ExperimentConfig(
+    name="petr_r50_p4_1408x512",
+    model=ModelConfig(backbone=_r50((2, 3))),
+    data=DataConfig(
+        image_size=(512, 1408),
+        mean=(103.530, 116.280, 123.675), std=(1.0, 1.0, 1.0),
+        resize_lim=(0.8, 1.0), final_dim=(512, 1408),
+    ),
+))
+
+_register(ExperimentConfig(
+    name="petrv2_vov_p4_800x320",
+    model=ModelConfig(
+        backbone=BackboneConfig(),
+        head=HeadConfig(
+            with_fpe=True, with_time=True, with_multi_reg=True,
+            shared_branches=False,
+        ),
+    ),
+    data=DataConfig(num_frames=2),
+    # v2 uses code_weights all-1.0 (petrv2_vovnet_gridmask_p4_800x320.py:49-53)
+    train=TrainConfig(optim=OptimConfig(code_weights=(1.0,) * 10)),
+))
+
+
+def get_config(name: str) -> ExperimentConfig:
+    return _CONFIGS[name]
+
+
+def list_configs() -> Sequence[str]:
+    return sorted(_CONFIGS)

@@ -1,0 +1,171 @@
+"""Shared NN building blocks (flax.linen, NHWC, bf16-aware).
+
+Conventions:
+  * params are stored fp32; ``dtype`` controls compute precision.
+  * convs operate on channels-last tensors (TPU-native layout).
+  * FrozenBatchNorm carries running stats as constants-in-params — the
+    reference trains every config with BN in eval mode (norm_eval /
+    requires_grad=False; `vovnet.py:374-383`, configs), so BN is always an
+    affine transform with frozen statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm evaluated with frozen running statistics.
+
+    ``scale``/``bias`` are trainable; ``mean``/``var`` are parameters that the
+    optimizer must mask out (see train/optim.py) — kept in the param tree so
+    torch-checkpoint import is a pure key-map.
+    """
+
+    dtype: Dtype = jnp.float32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.param("mean", nn.initializers.zeros, (c,), jnp.float32)
+        var = self.param("var", nn.initializers.ones, (c,), jnp.float32)
+        # Fold into a single scale/shift (XLA fuses this into the conv).
+        mul = scale * jax.lax.rsqrt(var + self.eps)
+        add = bias - mean * mul
+        return (x * mul.astype(self.dtype) + add.astype(self.dtype)).astype(self.dtype)
+
+
+class ConvBNReLU(nn.Module):
+    """3x3/1x1 conv + frozen BN + optional ReLU (the backbone workhorse)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    relu: bool = True
+    groups: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(self.kernel // 2, self.kernel // 2)] * 2,
+            use_bias=False,
+            feature_group_count=self.groups,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = FrozenBatchNorm(dtype=self.dtype, name="bn")(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class MLP(nn.Module):
+    """Linear stack with an activation between layers (no final act)."""
+
+    features: Sequence[int]
+    activation: Callable = nn.relu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, dtype=self.dtype, name=f"fc{i}")(x)
+            if i < len(self.features) - 1:
+                x = self.activation(x)
+        return x
+
+
+class MultiheadAttention(nn.Module):
+    """Batch-first multi-head attention with additive positional embeddings.
+
+    Equivalent computation to torch ``nn.MultiheadAttention`` + the reference
+    wrapper (`petr_transformer.py:227-367`): query/key PE added before the
+    projections, residual identity added by the caller. fp32 softmax.
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jax.Array,  # (B, Q, C)
+        key: jax.Array,  # (B, L, C)
+        value: jax.Array,  # (B, L, C)
+        *,
+        key_padding_mask: Optional[jax.Array] = None,  # (B, L) True = pad
+        deterministic: bool = True,
+    ) -> jax.Array:
+        H = self.num_heads
+        D = self.embed_dim // H
+
+        def proj(name):
+            return nn.Dense(self.embed_dim, dtype=self.dtype, name=name)
+
+        q = proj("q_proj")(query)
+        k = proj("k_proj")(key)
+        v = proj("v_proj")(value)
+        B, Q, _ = q.shape
+        L = k.shape[1]
+        q = q.reshape(B, Q, H, D)
+        k = k.reshape(B, L, H, D)
+        v = v.reshape(B, L, H, D)
+
+        scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+        logits = jnp.einsum("bqhd,blhd->bhql", q, k).astype(jnp.float32) * scale
+        if key_padding_mask is not None:
+            neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+            logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = nn.Dropout(self.dropout_rate, deterministic=deterministic)(attn)
+        out = jnp.einsum("bhql,blhd->bqhd", attn.astype(self.dtype), v)
+        out = out.reshape(B, Q, self.embed_dim)
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")(out)
+
+
+class FFN(nn.Module):
+    """Transformer feed-forward block (no residual; caller adds it)."""
+
+    hidden_dim: int
+    embed_dim: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        y = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout_rate, deterministic=deterministic)(y)
+        y = nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(y)
+        y = nn.Dropout(self.dropout_rate, deterministic=deterministic)(y)
+        return y
+
+
+class SELayer(nn.Module):
+    """Squeeze-excite gate used by PETRv2's feature-guided PE
+    (`petrv2_head.py:48-60`): x * sigmoid(conv(relu(conv(se_input))))."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, gate_input: jax.Array) -> jax.Array:
+        g = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="conv_reduce")(gate_input)
+        g = nn.relu(g)
+        g = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="conv_expand")(g)
+        return x * jax.nn.sigmoid(g)

@@ -1,0 +1,62 @@
+"""3D box codec — the 10-dim normalized layout used for regression/matching.
+
+Behavioral reference: `projects/mmdet3d_plugin/core/bbox/util.py:38-87`
+(sty61010/PETR). The interleaved layout is load-bearing:
+
+    raw box   : (cx, cy, cz, w, l, h, yaw[, vx, vy])          (9-dim)
+    normalized: (cx, cy, log w, log l, cz, log h, sin yaw, cos yaw[, vx, vy])
+
+Note cz sits at index 4 of the normalized code, not index 2.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def encode_bbox(boxes: jax.Array) -> jax.Array:
+    """Raw 7/9-dim boxes -> 8/10-dim normalized regression targets."""
+    cx = boxes[..., 0:1]
+    cy = boxes[..., 1:2]
+    cz = boxes[..., 2:3]
+    w = jnp.log(boxes[..., 3:4])
+    l = jnp.log(boxes[..., 4:5])
+    h = jnp.log(boxes[..., 5:6])
+    yaw = boxes[..., 6:7]
+    parts = [cx, cy, w, l, cz, h, jnp.sin(yaw), jnp.cos(yaw)]
+    if boxes.shape[-1] > 7:
+        parts += [boxes[..., 7:8], boxes[..., 8:9]]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def decode_bbox(codes: jax.Array) -> jax.Array:
+    """8/10-dim normalized codes -> raw 7/9-dim boxes."""
+    yaw = jnp.arctan2(codes[..., 6:7], codes[..., 7:8])
+    cx = codes[..., 0:1]
+    cy = codes[..., 1:2]
+    cz = codes[..., 4:5]
+    w = jnp.exp(codes[..., 2:3])
+    l = jnp.exp(codes[..., 3:4])
+    h = jnp.exp(codes[..., 5:6])
+    parts = [cx, cy, cz, w, l, h, yaw]
+    if codes.shape[-1] > 8:
+        parts += [codes[..., 8:9], codes[..., 9:10]]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def gravity_center_boxes(boxes_bottom: jax.Array) -> jax.Array:
+    """Bottom-center-z boxes -> gravity-center-z (z += h/2).
+
+    nuScenes GT ships bottom-center z; training targets use gravity center
+    (`petr_head.py:691-693` builds GT as cat(gravity_center, dims, yaw, v)).
+    """
+    z = boxes_bottom[..., 2:3] + boxes_bottom[..., 5:6] * 0.5
+    return jnp.concatenate([boxes_bottom[..., :2], z, boxes_bottom[..., 3:]], axis=-1)
+
+
+def bottom_center_boxes(boxes_gravity: jax.Array) -> jax.Array:
+    """Gravity-center-z boxes -> bottom-center-z (z -= h/2), as emitted at
+    decode time (`petr_head.py:746`)."""
+    z = boxes_gravity[..., 2:3] - boxes_gravity[..., 5:6] * 0.5
+    return jnp.concatenate([boxes_gravity[..., :2], z, boxes_gravity[..., 3:]], axis=-1)

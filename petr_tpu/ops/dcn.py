@@ -1,0 +1,81 @@
+"""Modulated deformable convolution v2 as XLA gathers + einsum.
+
+Replaces the mmcv CUDA ``DCNv2`` kernel used by the reference's r50dcn
+backbones (config `petr_r50dcn_gridmask_p4.py:41-42`). Formulation: for each
+of the K=kh*kw kernel taps, bilinearly sample the input at
+(output-pixel base + tap offset + learned offset), scale by the sigmoid
+modulation mask, and contract the stacked samples with the kernel weights on
+the MXU. XLA fuses the gathers; a Pallas VMEM-tiled variant can slot in later
+for the hot path.
+
+Offset/mask channel convention (matches mmcv's ModulatedDeformConv2d so torch
+checkpoint import is a pure key-map): ``off_mask`` has 3*K channels =
+[interleaved (dy, dx) per tap (2K) | mask logits (K)], taps in row-major
+(kh, kw) order.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def deform_conv2d_init_args(kh: int = 3, kw: int = 3):
+    return {"num_offset_mask_channels": 3 * kh * kw}
+
+
+def modulated_deform_conv(
+    x: jax.Array,
+    off_mask: jax.Array,
+    weight: jax.Array,
+    *,
+    stride: int = 1,
+    dilation: int = 1,
+) -> jax.Array:
+    """Apply DCNv2.
+
+    Args:
+        x: (B, H, W, Cin).
+        off_mask: (B, Ho, Wo, 3*K) offsets+mask logits (see module docstring).
+        weight: (kh, kw, Cin, Cout).
+    Returns:
+        (B, Ho, Wo, Cout).
+    """
+    B, H, W, Cin = x.shape
+    kh, kw, _, Cout = weight.shape
+    K = kh * kw
+    _, Ho, Wo, _ = off_mask.shape
+
+    off = off_mask[..., : 2 * K].astype(jnp.float32).reshape(B, Ho, Wo, K, 2)
+    dy = off[..., 0]
+    dx = off[..., 1]
+    mask = jax.nn.sigmoid(off_mask[..., 2 * K :].astype(jnp.float32))  # (B,Ho,Wo,K)
+
+    # Base sampling positions: output pixel * stride + (tap - pad) * dilation.
+    pad_h = (kh - 1) * dilation // 2
+    pad_w = (kw - 1) * dilation // 2
+    oy = jnp.arange(Ho, dtype=jnp.float32) * stride
+    ox = jnp.arange(Wo, dtype=jnp.float32) * stride
+    ty, tx = jnp.meshgrid(
+        jnp.arange(kh, dtype=jnp.float32) * dilation - pad_h,
+        jnp.arange(kw, dtype=jnp.float32) * dilation - pad_w,
+        indexing="ij",
+    )
+    ty = ty.reshape(K)
+    tx = tx.reshape(K)
+    sy = oy[None, :, None, None] + ty[None, None, None, :] + dy  # (B,Ho,Wo,K)
+    sx = ox[None, None, :, None] + tx[None, None, None, :] + dx
+
+    xy = jnp.stack([sx, sy], axis=-1)  # (B, Ho, Wo, K, 2)
+
+    from petr_tpu.ops.sampling import bilinear_sample
+
+    samples = jax.vmap(bilinear_sample)(x.astype(jnp.float32), xy)  # (B,Ho,Wo,K,Cin)
+    samples = samples * mask[..., None]
+    out = jnp.einsum(
+        "bhwkc,kco->bhwo",
+        samples,
+        weight.astype(jnp.float32).reshape(K, Cin, Cout),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(x.dtype)

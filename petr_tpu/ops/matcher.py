@@ -1,0 +1,127 @@
+"""Device-side Hungarian (linear assignment) matching.
+
+The reference ships the cost matrix to the host and calls scipy's
+``linear_sum_assignment`` once per (sample x decoder layer)
+(`hungarian_assigner_3d.py:126-135` in sty61010/PETR) — a device->host sync in
+the middle of every training step. Here the LAP is solved **on device** with a
+Jonker-Volgenant shortest-augmenting-path algorithm expressed in
+``lax.fori_loop`` / ``lax.while_loop`` so it jits, vmaps over the batch, and
+never leaves the TPU.
+
+Shapes are static: GT boxes are padded to ``max_gt`` rows; padded rows carry a
+constant cost, which provably leaves the optimum over real rows unchanged
+(padded rows are indifferent between the leftover columns).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_INF = 1e9
+
+
+def lap_solve(cost: jax.Array, row_valid: jax.Array) -> jax.Array:
+    """Solve min-cost assignment of rows -> distinct columns.
+
+    Args:
+        cost: (R, C) fp32 cost, R <= C. Rows where ``row_valid`` is False are
+            padding (their cost content is ignored; a constant row is used).
+        row_valid: (R,) bool.
+
+    Returns:
+        col_of_row: (R,) int32 — the column assigned to each row (defined for
+        every row; consumers should mask with ``row_valid``).
+    """
+    R, C = cost.shape
+    assert R <= C, "lap_solve expects rows <= cols"
+    cost = jnp.nan_to_num(cost.astype(jnp.float32), nan=100.0, posinf=100.0, neginf=-100.0)
+    # Padded rows: constant cost -> optimum over valid rows is preserved.
+    cost = jnp.where(row_valid[:, None], cost, 0.0)
+
+    VIRT = C  # virtual start column index
+
+    def assign_row(i, carry):
+        u, v, p = carry  # u:(R+1,), v:(C+1,), p:(C+1,) col->row, -1 = free
+        p = p.at[VIRT].set(i)
+        minv0 = jnp.full((C,), _INF, jnp.float32)
+        way0 = jnp.full((C,), VIRT, jnp.int32)
+        used0 = jnp.zeros((C + 1,), jnp.bool_)
+
+        def cond(s):
+            j0, _, _, _, u, v, p = s
+            return p[j0] != -1
+
+        def body(s):
+            j0, minv, way, used, u, v, p = s
+            used = used.at[j0].set(True)
+            i0 = p[j0]
+            cur = cost[i0] - u[i0] - v[:C]
+            better = (cur < minv) & ~used[:C]
+            minv = jnp.where(better, cur, minv)
+            way = jnp.where(better, j0, way)
+            masked = jnp.where(used[:C], _INF, minv)
+            j1 = jnp.argmin(masked).astype(jnp.int32)
+            delta = masked[j1]
+            # potentials: u[p[j]] += delta for used j; v[j] -= delta for used j
+            bump_idx = jnp.where(used, p, R)  # R = dump slot in u
+            u = u.at[bump_idx].add(delta)
+            v = jnp.where(used, v - delta, v)
+            minv = jnp.where(used[:C], minv, minv - delta)
+            return j1, minv, way, used, u, v, p
+
+        j0, _, way, _, u, v, p = jax.lax.while_loop(
+            cond, body, (jnp.int32(VIRT), minv0, way0, used0, u, v, p)
+        )
+
+        # Augment along the alternating path back to the virtual column.
+        def aug_cond(s):
+            j0, _ = s
+            return j0 != VIRT
+
+        def aug_body(s):
+            j0, p = s
+            j1 = way[j0]
+            p = p.at[j0].set(p[j1])
+            return j1, p
+
+        _, p = jax.lax.while_loop(aug_cond, aug_body, (j0, p))
+        return u, v, p
+
+    u0 = jnp.zeros((R + 1,), jnp.float32)
+    v0 = jnp.zeros((C + 1,), jnp.float32)
+    p0 = jnp.full((C + 1,), -1, jnp.int32)
+    _, _, p = jax.lax.fori_loop(0, R, assign_row, (u0, v0, p0))
+
+    # Invert col->row into row->col.
+    col_ids = jnp.arange(C, dtype=jnp.int32)
+    rows = p[:C]
+    col_of_row = jnp.zeros((R,), jnp.int32).at[jnp.where(rows >= 0, rows, R - 1)].max(
+        jnp.where(rows >= 0, col_ids, 0)
+    )
+    # The scatter-max above is safe because each assigned row appears exactly
+    # once among the columns; unassigned rows (impossible when R<=C after full
+    # run) would read 0.
+    return col_of_row
+
+
+def hungarian_match(
+    cost: jax.Array,
+    gt_valid: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Match queries to (padded) GT boxes by min-cost assignment.
+
+    Args:
+        cost: (Q, G) fp32 cost between Q query predictions and G padded GTs.
+        gt_valid: (G,) bool — True for real GT rows.
+
+    Returns:
+        query_of_gt: (G,) int32, the query index matched to each GT row.
+        match_valid: (G,) bool, alias of gt_valid (a real GT is always
+            matched when G <= Q).
+    """
+    # Solve with GTs as rows (G <= Q): each GT gets a distinct query.
+    q_of_g = lap_solve(cost.T, gt_valid)
+    return q_of_g, gt_valid

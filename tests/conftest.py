@@ -1,0 +1,17 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+
+All unit tests run on CPU (fast, deterministic, no TPU needed); sharding tests
+use the 8 virtual devices.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # override axon/tpu: unit tests are CPU-only
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,77 @@
+"""Device-side LAP solver vs scipy's linear_sum_assignment."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+from petr_tpu.ops import hungarian_match, lap_solve
+
+
+def scipy_cost(cost):
+    r, c = linear_sum_assignment(cost)
+    return cost[r, c].sum()
+
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("shape", [(4, 9), (12, 30), (32, 100), (64, 64)])
+def test_lap_matches_scipy_cost(seed, shape):
+    rng = np.random.RandomState(seed)
+    cost = rng.randn(*shape).astype(np.float32) * 10
+    valid = np.ones(shape[0], np.bool_)
+    col = np.asarray(lap_solve(jnp.asarray(cost), jnp.asarray(valid)))
+    # assignment must be a permutation (distinct columns)
+    assert len(set(col.tolist())) == shape[0]
+    got = cost[np.arange(shape[0]), col].sum()
+    want = scipy_cost(cost.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_lap_with_padded_rows():
+    rng = np.random.RandomState(7)
+    R, C, n_real = 16, 40, 5
+    cost = rng.randn(R, C).astype(np.float32) * 5
+    valid = np.zeros(R, np.bool_)
+    valid[:n_real] = True
+    col = np.asarray(lap_solve(jnp.asarray(cost), jnp.asarray(valid)))
+    got = cost[np.arange(n_real), col[:n_real]].sum()
+    want = scipy_cost(cost[:n_real].astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+    assert len(set(col[:n_real].tolist())) == n_real
+
+
+def test_lap_duplicate_costs_tie():
+    # degenerate ties should still produce a valid optimal perm
+    cost = np.ones((6, 10), np.float32)
+    col = np.asarray(lap_solve(jnp.asarray(cost), jnp.ones(6, bool)))
+    assert len(set(col.tolist())) == 6
+
+
+def test_lap_nan_clamped():
+    cost = np.full((3, 5), np.nan, np.float32)
+    cost[0, 1] = -50.0
+    col = np.asarray(lap_solve(jnp.asarray(cost), jnp.ones(3, bool)))
+    assert col[0] == 1  # the only finite (and cheapest) entry
+
+
+def test_hungarian_match_vmap():
+    rng = np.random.RandomState(0)
+    B, Q, G = 3, 50, 12
+    cost = rng.randn(B, Q, G).astype(np.float32)
+    valid = np.ones((B, G), np.bool_)
+    valid[1, 8:] = False
+    q_of_g, mvalid = jax.vmap(hungarian_match)(jnp.asarray(cost), jnp.asarray(valid))
+    q_of_g = np.asarray(q_of_g)
+    for b in range(B):
+        nv = valid[b].sum()
+        got = cost[b][q_of_g[b, :nv], np.arange(nv)].sum()
+        want = scipy_cost(cost[b, :, :nv].astype(np.float64))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_lap_jits():
+    cost = jnp.asarray(np.random.RandomState(0).randn(8, 20), jnp.float32)
+    f = jax.jit(lap_solve)
+    col = np.asarray(f(cost, jnp.ones(8, bool)))
+    assert len(set(col.tolist())) == 8
