@@ -1,0 +1,71 @@
+"""Benchmark: flagship PETR-vov-p4-800x320 inference throughput on one chip.
+
+Protocol mirrors the reference's `tools/analysis_tools/benchmark.py:64-91`
+(sty61010/PETR): warmup 5 iterations, synchronized timing, fps = samples/s
+(one sample = 6 camera images at 320x800).
+
+Baseline derivation: the reference publishes no FPS; its val-eval wall times
+(6019 samples in ~200-313 s on 8 GPUs, config comments) imply ~2.4-3.8
+samples/s per 2080Ti. vs_baseline is reported against 3.0 samples/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    from petr_tpu.configs import get_config
+    from petr_tpu.models import PETRDetector
+
+    cfg = get_config("petr_vov_p4_800x320")
+    model = PETRDetector(cfg.model, deterministic=True)
+    B, N, H, W = 1, 6, *cfg.data.image_size
+    batch = ge._batch(B, N, H, W, 8)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["img2lidar"], batch["img_hw"]
+    )
+    params = variables["params"]
+
+    @jax.jit
+    def forward(params, images, img2lidar, img_hw):
+        return model.apply({"params": params}, images, img2lidar, img_hw)
+
+    args = (params, batch["images"], batch["img2lidar"], batch["img_hw"])
+
+    # warmup (includes compile)
+    for _ in range(5):
+        out = forward(*args)
+    jax.block_until_ready(out)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = iters * B / dt
+    baseline = 3.0  # samples/s per reference GPU (see module docstring)
+    print(
+        json.dumps(
+            {
+                "metric": "petr_vov_p4_800x320_inference",
+                "value": round(fps, 3),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(fps / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,278 @@
+"""nuScenes multi-view dataset -> statically-shaped training batches.
+
+Info schema (produced by petr_tpu/data/info.py, mirroring the reference's
+`tools/data_converter/nuscenes_converter.py` records): per sample a dict
+  token, timestamp (s), lidar_path,
+  cams: {cam_name: {data_path, cam_intrinsic (3,3),
+                    sensor2lidar_rotation (3,3), sensor2lidar_translation (3,),
+                    timestamp (s)}},
+  sweeps_cams: list of previous-frame cam dicts (ego-aligned lidar2img
+      chain precomputed as in the 30-frame info files used by PETRv2),
+  gt_boxes (G, 7) [bottom-center z], gt_velocity (G, 2), gt_labels (G,),
+  valid_flag (G,) bool.
+
+Camera matrix convention (`datasets/nuscenes_dataset.py:56-66`):
+  lidar2cam_r = inv(sensor2lidar_rotation)
+  lidar2cam_t = sensor2lidar_translation @ lidar2cam_r.T
+  lidar2cam_rt = [[lidar2cam_r.T, 0], [-lidar2cam_t, 1]]   (transposed layout)
+  lidar2img = viewpad(intrinsic) @ lidar2cam_rt.T
+
+Batches are padded to static shapes; GT to ``max_gt`` with a validity mask;
+GT z converted to gravity center. ``img2lidar`` is inverted here on the host
+in float64 (the reference inverts per step on the hot path;
+`petr_head.py:308-314`).
+"""
+
+from __future__ import annotations
+
+import pickle
+import queue
+import threading
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from petr_tpu.configs.config import DataConfig
+from petr_tpu.data.transforms import (
+    apply_ida,
+    bev_rotate_scale,
+    compose_lidar2img,
+    normalize_image,
+    pad_image,
+    sample_ida_params,
+    update_intrinsics_ida,
+)
+
+CAM_ORDER = (
+    "CAM_FRONT",
+    "CAM_FRONT_RIGHT",
+    "CAM_FRONT_LEFT",
+    "CAM_BACK",
+    "CAM_BACK_LEFT",
+    "CAM_BACK_RIGHT",
+)
+
+
+def cam_matrices(cam: Dict) -> Dict[str, np.ndarray]:
+    """Build (intrinsics4, extrinsics4) for one camera record."""
+    intrinsic = np.asarray(cam["cam_intrinsic"], np.float64)
+    viewpad = np.eye(4)
+    viewpad[:3, :3] = intrinsic
+    r = np.asarray(cam["sensor2lidar_rotation"], np.float64)
+    t = np.asarray(cam["sensor2lidar_translation"], np.float64)
+    lidar2cam_r = np.linalg.inv(r)
+    lidar2cam_t = t @ lidar2cam_r.T
+    rt = np.eye(4)
+    rt[:3, :3] = lidar2cam_r.T
+    rt[3, :3] = -lidar2cam_t
+    return {"intrinsics": viewpad, "extrinsics": rt}
+
+
+class NuScenesDataset:
+    """Reads info records + images, applies the pipeline, emits sample dicts."""
+
+    def __init__(
+        self,
+        infos: Sequence[Dict],
+        cfg: DataConfig,
+        training: bool = True,
+        data_root: str = "",
+        src_hw=(900, 1600),
+        sweep_range=(3, 27),
+    ):
+        self.infos = list(infos)
+        self.cfg = cfg
+        self.training = training
+        self.data_root = data_root
+        self.src_hw = src_hw
+        self.sweep_range = sweep_range
+
+    @classmethod
+    def from_pkl(cls, path: str, cfg: DataConfig, **kw) -> "NuScenesDataset":
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        infos = data["infos"] if isinstance(data, dict) else data
+        return cls(infos, cfg, **kw)
+
+    def __len__(self):
+        return len(self.infos)
+
+    def _load_image(self, path: str) -> Image.Image:
+        full = path if path.startswith("/") else f"{self.data_root}/{path}"
+        img = Image.open(full)
+        # PIL loads RGB; caffe-style normalization expects BGR
+        return img
+
+    def _select_cams(self, info: Dict, rng: np.random.Generator) -> List[Dict]:
+        """Current-frame cams + (v2) one previous-frame sweep of 6 cams.
+
+        Sweep selection mirrors `datasets/pipelines/loading.py:80-94`: train
+        picks a random index in sweep_range, test the middle; missing sweeps
+        degrade to repeating the current frame (`:69-78`).
+        """
+        cams = [dict(info["cams"][name], _ts_ref=info["timestamp"]) for name in CAM_ORDER]
+        if self.cfg.num_frames > 1:
+            sweeps = info.get("sweeps_cams") or []
+            if sweeps:
+                lo, hi = self.sweep_range
+                if self.training:
+                    idx = int(rng.integers(lo, min(hi, len(sweeps))))
+                else:
+                    idx = min((lo + hi) // 2, len(sweeps) - 1)
+                idx = min(max(idx, 0), len(sweeps) - 1)
+                prev = sweeps[idx]
+                cams += [dict(prev[name], _ts_ref=info["timestamp"]) for name in CAM_ORDER]
+            else:
+                cams += [dict(c) for c in cams]
+        return cams
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        return self.get(idx, seed=idx)
+
+    def get(self, idx: int, seed: int = 0) -> Dict[str, np.ndarray]:
+        info = self.infos[idx]
+        rng = np.random.default_rng(np.random.SeedSequence([seed, idx]))
+        cams = self._select_cams(info, rng)
+
+        ida = sample_ida_params(
+            rng,
+            self.src_hw,
+            self.cfg.final_dim,
+            self.cfg.resize_lim,
+            self.cfg.bot_pct_lim,
+            self.cfg.rot_lim,
+            self.cfg.rand_flip,
+            self.training,
+        )
+
+        images, l2i_list, ts_list = [], [], []
+        for cam in cams:
+            img = self._load_image(cam["data_path"])
+            img = apply_ida(img, ida)
+            arr = np.asarray(img, np.float32)
+            if arr.ndim == 2:
+                arr = np.stack([arr] * 3, -1)
+            arr = arr[..., ::-1]  # RGB -> BGR (caffe convention)
+            arr = normalize_image(arr, self.cfg.mean, self.cfg.std, self.cfg.to_rgb)
+            images.append(pad_image(arr, self.cfg.image_size))
+
+            mats = cam_matrices(cam)
+            intr = update_intrinsics_ida(mats["intrinsics"], ida)
+            l2i_list.append(compose_lidar2img(intr, mats["extrinsics"]))
+            ts_list.append(float(cam.get("timestamp", 0.0)) - float(cam.get("_ts_ref", 0.0)))
+
+        l2i = np.stack(l2i_list)  # (N, 4, 4)
+
+        gt_boxes = np.asarray(info.get("gt_boxes", np.zeros((0, 7))), np.float64)
+        gt_vel = np.asarray(info.get("gt_velocity", np.zeros((len(gt_boxes), 2))), np.float64)
+        gt_vel = np.nan_to_num(gt_vel)
+        gt_labels = np.asarray(info.get("gt_labels", np.zeros((len(gt_boxes),))), np.int64)
+        boxes9 = np.concatenate([gt_boxes[:, :7], gt_vel], -1) if len(gt_boxes) else np.zeros((0, 9))
+
+        if self.training and len(boxes9):
+            l2i, boxes9 = bev_rotate_scale(
+                l2i, boxes9, rng, self.cfg.bev_rot_range, self.cfg.bev_scale_range
+            )
+        # bottom-center z -> gravity center for training targets
+        if len(boxes9):
+            boxes9 = boxes9.copy()
+            boxes9[:, 2] += boxes9[:, 5] * 0.5
+
+        # range + name filtering (ObjectRangeFilter semantics on the BEV range)
+        from petr_tpu.configs.config import PC_RANGE
+
+        if len(boxes9):
+            keep = (
+                (boxes9[:, 0] >= PC_RANGE[0]) & (boxes9[:, 0] <= PC_RANGE[3])
+                & (boxes9[:, 1] >= PC_RANGE[1]) & (boxes9[:, 1] <= PC_RANGE[4])
+            )
+            boxes9, gt_labels = boxes9[keep], gt_labels[keep]
+
+        G = self.cfg.max_gt
+        gt_out = np.zeros((G, 9), np.float32)
+        lab_out = np.zeros((G,), np.int32)
+        val_out = np.zeros((G,), bool)
+        n = min(len(boxes9), G)
+        gt_out[:n] = boxes9[:n]
+        lab_out[:n] = gt_labels[:n]
+        val_out[:n] = True
+
+        fh, fw = self.cfg.final_dim
+        img2lidar = np.linalg.inv(l2i)
+        return {
+            "images": np.stack(images).astype(np.float32),
+            "img2lidar": img2lidar.astype(np.float32),
+            "lidar2img": l2i.astype(np.float32),
+            "img_hw": np.full((len(cams), 2), [fh, fw], np.float32),
+            "gt_boxes": gt_out,
+            "gt_labels": lab_out,
+            "gt_valid": val_out,
+            "timestamp": np.asarray(ts_list, np.float32),
+            "token": info.get("token", str(idx)),
+        }
+
+
+def collate_batch(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = [k for k in samples[0] if k not in ("token", "lidar2img")]
+    out = {k: np.stack([s[k] for s in samples]) for k in keys}
+    out["tokens"] = [s["token"] for s in samples]
+    return out
+
+
+class Loader:
+    """Thread-prefetching batch loader with per-epoch shuffling."""
+
+    def __init__(self, dataset: NuScenesDataset, batch_size: int, seed: int = 0,
+                 shuffle: bool = True, num_threads: int = 4, drop_last: bool = True):
+        self.ds = dataset
+        self.bs = batch_size
+        self.seed = seed
+        self.shuffle = shuffle
+        self.num_threads = num_threads
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
+
+    def epoch(self, epoch: int):
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(order)
+        n_batches = len(self)
+        idx_batches = [
+            order[i * self.bs : (i + 1) * self.bs] for i in range(n_batches)
+        ]
+        q: "queue.Queue" = queue.Queue(maxsize=self.num_threads * 2)
+        stop = threading.Event()
+
+        def worker(batch_ids):
+            for bi in batch_ids:
+                if stop.is_set():
+                    return
+                samples = [self.ds.get(int(i), seed=self.seed + epoch) for i in bi]
+                q.put((bi[0], collate_batch(samples)))
+
+        chunks = [idx_batches[t :: self.num_threads] for t in range(self.num_threads)]
+        threads = [threading.Thread(target=worker, args=(c,), daemon=True) for c in chunks]
+        for t in threads:
+            t.start()
+        try:
+            # preserve deterministic order via reorder buffer
+            buf: Dict[int, Dict] = {}
+            expected = [b[0] for b in idx_batches]
+            ei = 0
+            received = 0
+            while received < n_batches:
+                k, v = q.get()
+                buf[k] = v
+                received += 1
+                while ei < n_batches and expected[ei] in buf:
+                    yield buf.pop(expected[ei])
+                    ei += 1
+            while ei < n_batches:
+                yield buf.pop(expected[ei])
+                ei += 1
+        finally:
+            stop.set()

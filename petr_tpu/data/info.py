@@ -1,0 +1,209 @@
+"""nuScenes info-file builder (host-side data prep).
+
+Behavioral reference: `tools/data_converter/nuscenes_converter.py:26-340`
+(sty61010/PETR): official scene splits, per-sample records with the six
+camera transforms (sensor->lidar chain via ego poses), GT boxes in the lidar
+frame with velocities, plus (for PETRv2) previous-frame camera records whose
+transforms are chained through the ego pose so prev-frame lidar2img matrices
+are already aligned to the current lidar frame.
+
+Requires the nuscenes-devkit + raw data at runtime; the import is gated so
+the rest of the engine works without it (this container has neither).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from petr_tpu.configs.config import NUSCENES_CLASSES
+
+# nuScenes detection-class mapping (upstream mmdet3d NuScenesDataset.NameMapping)
+NAME_MAPPING = {
+    "movable_object.barrier": "barrier",
+    "vehicle.bicycle": "bicycle",
+    "vehicle.bus.bendy": "bus",
+    "vehicle.bus.rigid": "bus",
+    "vehicle.car": "car",
+    "vehicle.construction": "construction_vehicle",
+    "vehicle.motorcycle": "motorcycle",
+    "human.pedestrian.adult": "pedestrian",
+    "human.pedestrian.child": "pedestrian",
+    "human.pedestrian.construction_worker": "pedestrian",
+    "human.pedestrian.police_officer": "pedestrian",
+    "movable_object.trafficcone": "traffic_cone",
+    "vehicle.trailer": "trailer",
+    "vehicle.truck": "truck",
+}
+
+
+def _quat_to_rot(q) -> np.ndarray:
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def _sensor_to_lidar(nusc, sd_token: str, lidar_sd: Dict) -> Dict:
+    """Transform chain sensor -> ego(t_s) -> global -> ego(t_l) -> lidar.
+
+    Mirrors `nuscenes_converter.py:280-340` (obtain_sensor2top).
+    """
+    sd = nusc.get("sample_data", sd_token)
+    cs = nusc.get("calibrated_sensor", sd["calibrated_sensor_token"])
+    pose = nusc.get("ego_pose", sd["ego_pose_token"])
+
+    l_cs = nusc.get("calibrated_sensor", lidar_sd["calibrated_sensor_token"])
+    l_pose = nusc.get("ego_pose", lidar_sd["ego_pose_token"])
+
+    # sensor -> global
+    R_s = _quat_to_rot(cs["rotation"])
+    t_s = np.asarray(cs["translation"])
+    R_pe = _quat_to_rot(pose["rotation"])
+    t_pe = np.asarray(pose["translation"])
+    # global -> lidar
+    R_l = _quat_to_rot(l_cs["rotation"])
+    t_l = np.asarray(l_cs["translation"])
+    R_le = _quat_to_rot(l_pose["rotation"])
+    t_le = np.asarray(l_pose["translation"])
+
+    R = (R_le @ R_l).T @ (R_pe @ R_s)
+    t = (R_le @ R_l).T @ (R_pe @ t_s + t_pe - R_le @ t_l - t_le)
+
+    rec = {
+        "data_path": sd["filename"],
+        "timestamp": sd["timestamp"] / 1e6,
+        "sensor2lidar_rotation": R,
+        "sensor2lidar_translation": t,
+    }
+    if sd["sensor_modality"] == "camera":
+        rec["cam_intrinsic"] = np.asarray(cs["camera_intrinsic"])
+    return rec
+
+
+CAM_NAMES = (
+    "CAM_FRONT",
+    "CAM_FRONT_RIGHT",
+    "CAM_FRONT_LEFT",
+    "CAM_BACK",
+    "CAM_BACK_LEFT",
+    "CAM_BACK_RIGHT",
+)
+
+
+def build_infos(
+    data_root: str,
+    version: str = "v1.0-trainval",
+    max_prev_frames: int = 30,
+) -> Dict[str, List[Dict]]:
+    """Build train/val info lists. Needs nuscenes-devkit + raw data."""
+    from nuscenes.nuscenes import NuScenes  # gated import
+    from nuscenes.utils import splits
+
+    nusc = NuScenes(version=version, dataroot=data_root, verbose=False)
+    if version == "v1.0-trainval":
+        train_scenes, val_scenes = splits.train, splits.val
+    elif version == "v1.0-mini":
+        train_scenes, val_scenes = splits.mini_train, splits.mini_val
+    elif version == "v1.0-test":
+        train_scenes, val_scenes = splits.test, []
+    else:
+        raise ValueError(version)
+
+    scene_name = {s["token"]: s["name"] for s in nusc.scene}
+    train_infos, val_infos = [], []
+
+    for sample in nusc.sample:
+        name = scene_name[sample["scene_token"]]
+        if name not in train_scenes and name not in val_scenes:
+            continue
+        lidar_sd = nusc.get("sample_data", sample["data"]["LIDAR_TOP"])
+
+        cams = {}
+        for cam in CAM_NAMES:
+            cams[cam] = _sensor_to_lidar(nusc, sample["data"][cam], lidar_sd)
+
+        # previous camera frames (sample_data chain), ego-aligned to current
+        # lidar frame — used by the PETRv2 sweep loader.
+        sweeps_cams: List[Dict] = []
+        prev_tokens = {cam: nusc.get("sample_data", sample["data"][cam])["prev"] for cam in CAM_NAMES}
+        for _ in range(max_prev_frames):
+            if any(not t for t in prev_tokens.values()):
+                break
+            frame = {}
+            for cam in CAM_NAMES:
+                frame[cam] = _sensor_to_lidar(nusc, prev_tokens[cam], lidar_sd)
+                prev_tokens[cam] = nusc.get("sample_data", prev_tokens[cam])["prev"]
+            sweeps_cams.append(frame)
+
+        # GT in lidar frame
+        boxes, labels, vels, valid = [], [], [], []
+        for ann_token in sample["anns"]:
+            ann = nusc.get("sample_annotation", ann_token)
+            mapped = NAME_MAPPING.get(ann["category_name"])
+            if mapped is None or mapped not in NUSCENES_CLASSES:
+                continue
+            box = nusc.get_box(ann_token)
+            # global -> lidar frame
+            l_cs = nusc.get("calibrated_sensor", lidar_sd["calibrated_sensor_token"])
+            l_pose = nusc.get("ego_pose", lidar_sd["ego_pose_token"])
+            from pyquaternion import Quaternion
+
+            box.translate(-np.array(l_pose["translation"]))
+            box.rotate(Quaternion(l_pose["rotation"]).inverse)
+            box.translate(-np.array(l_cs["translation"]))
+            box.rotate(Quaternion(l_cs["rotation"]).inverse)
+            yaw = box.orientation.yaw_pitch_roll[0]
+            # mmdet3d box convention: (x, y, z_bottom, w, l, h, yaw) with
+            # dims reordered (wlh -> w, l, h as stored by the converter:
+            # gt_boxes uses box.wlh[[1,0,2]] and yaw = -yaw - pi/2 in
+            # mmdet3d 0.17's LiDAR convention)
+            w, l, h = box.wlh
+            boxes.append(
+                [
+                    box.center[0],
+                    box.center[1],
+                    box.center[2] - h / 2.0,
+                    w,
+                    l,
+                    h,
+                    -yaw - np.pi / 2.0,
+                ]
+            )
+            v = nusc.box_velocity(ann_token)[:2]
+            R_l = _quat_to_rot(l_cs["rotation"])
+            R_le = _quat_to_rot(l_pose["rotation"])
+            v3 = np.array([v[0], v[1], 0.0])
+            v3 = (R_le @ R_l).T @ v3
+            vels.append(v3[:2])
+            labels.append(NUSCENES_CLASSES.index(mapped))
+            valid.append(ann["num_lidar_pts"] + ann["num_radar_pts"] > 0)
+
+        info = {
+            "token": sample["token"],
+            "timestamp": sample["timestamp"] / 1e6,
+            "lidar_path": lidar_sd["filename"],
+            "cams": cams,
+            "sweeps_cams": sweeps_cams,
+            "gt_boxes": np.asarray(boxes, np.float64).reshape(-1, 7),
+            "gt_velocity": np.asarray(vels, np.float64).reshape(-1, 2),
+            "gt_labels": np.asarray(labels, np.int64),
+            "valid_flag": np.asarray(valid, bool),
+        }
+        (train_infos if name in train_scenes else val_infos).append(info)
+
+    train_infos.sort(key=lambda x: x["timestamp"])
+    val_infos.sort(key=lambda x: x["timestamp"])
+    return {"train": train_infos, "val": val_infos}
+
+
+def save_infos(infos: Dict[str, List[Dict]], prefix: str) -> None:
+    for split, data in infos.items():
+        with open(f"{prefix}_infos_{split}.pkl", "wb") as f:
+            pickle.dump({"infos": data}, f)

@@ -1,0 +1,167 @@
+"""Host-side image/geometry transforms (NumPy + PIL), deterministic per-seed.
+
+Behavioral reference: `datasets/pipelines/transform_3d.py` (sty61010/PETR):
+  * IDA augmentation (`:362-465`): ONE sampled (resize, crop, flip, rotate)
+    applied to all views; the 3x3 ``ida_mat`` is composed into the camera
+    intrinsics and lidar2img recomputed as ``intrinsics @ extrinsics.T``.
+  * BEV-space rot/scale (`:468-548`): world rotated about z / scaled;
+    ``lidar2img``'s are right-multiplied by the inverse transform and GT
+    boxes transformed coherently (centers by R/s, yaw += angle, velocity by
+    R2). The reference's `reverse_angle` sign convention is absorbed here by
+    keeping box and camera transforms mutually consistent (the sampled range
+    is symmetric, so the distribution is identical).
+  * Normalize (`:80-113`) and pad-to-divisor (`:28-77`).
+
+All functions are pure; randomness comes from an explicit
+``np.random.Generator``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+@dataclasses.dataclass
+class IdaParams:
+    resize: float
+    resize_dims: Tuple[int, int]  # (W, H) for PIL
+    crop: Tuple[int, int, int, int]  # (left, top, right, bottom)
+    flip: bool
+    rotate_deg: float
+
+
+def sample_ida_params(
+    rng: np.random.Generator,
+    src_hw: Tuple[int, int],
+    final_hw: Tuple[int, int],
+    resize_lim: Tuple[float, float],
+    bot_pct_lim: Tuple[float, float] = (0.0, 0.0),
+    rot_lim: Tuple[float, float] = (0.0, 0.0),
+    rand_flip: bool = True,
+    training: bool = True,
+) -> IdaParams:
+    H, W = src_hw
+    fH, fW = final_hw
+    if training:
+        resize = float(rng.uniform(*resize_lim))
+        newW, newH = int(W * resize), int(H * resize)
+        crop_h = int((1 - rng.uniform(*bot_pct_lim)) * newH) - fH
+        crop_w = int(rng.uniform(0, max(0, newW - fW)))
+        flip = bool(rand_flip and rng.integers(2))
+        rot = float(rng.uniform(*rot_lim))
+    else:
+        resize = max(fH / H, fW / W)
+        newW, newH = int(W * resize), int(H * resize)
+        crop_h = int((1 - np.mean(bot_pct_lim)) * newH) - fH
+        crop_w = int(max(0, newW - fW) / 2)
+        flip = False
+        rot = 0.0
+    crop = (crop_w, crop_h, crop_w + fW, crop_h + fH)
+    return IdaParams(resize, (newW, newH), crop, flip, rot)
+
+
+def _rot2(deg: float) -> np.ndarray:
+    h = np.deg2rad(deg)
+    return np.array([[np.cos(h), np.sin(h)], [-np.sin(h), np.cos(h)]])
+
+
+def ida_matrix(p: IdaParams) -> np.ndarray:
+    """3x3 pixel-space homography matching the image op sequence
+    (resize -> crop -> flip -> rotate-about-crop-center)."""
+    R = np.eye(2) * p.resize
+    t = -np.asarray(p.crop[:2], np.float64)
+    if p.flip:
+        A = np.array([[-1.0, 0.0], [0.0, 1.0]])
+        b = np.array([p.crop[2] - p.crop[0], 0.0])
+        R = A @ R
+        t = A @ t + b
+    A = _rot2(p.rotate_deg)
+    b = np.array([p.crop[2] - p.crop[0], p.crop[3] - p.crop[1]]) / 2.0
+    b = A @ (-b) + b
+    R = A @ R
+    t = A @ t + b
+    M = np.eye(3)
+    M[:2, :2] = R
+    M[:2, 2] = t
+    return M
+
+
+def apply_ida(img: Image.Image, p: IdaParams) -> Image.Image:
+    img = img.resize(p.resize_dims)
+    img = img.crop(p.crop)
+    if p.flip:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    if p.rotate_deg:
+        img = img.rotate(p.rotate_deg)
+    return img
+
+
+def update_intrinsics_ida(intrinsics4: np.ndarray, p: IdaParams) -> np.ndarray:
+    """intrinsics[:3,:3] <- ida_mat @ intrinsics[:3,:3] (4x4 viewpad form)."""
+    out = intrinsics4.copy()
+    out[:3, :3] = ida_matrix(p) @ intrinsics4[:3, :3]
+    return out
+
+
+def compose_lidar2img(intrinsics4: np.ndarray, extrinsics4: np.ndarray) -> np.ndarray:
+    """lidar2img = viewpad @ lidar2cam_rt.T  (nuscenes_dataset.py:56-66)."""
+    return intrinsics4 @ extrinsics4.T
+
+
+def bev_rotate_scale(
+    lidar2imgs: np.ndarray,  # (N, 4, 4)
+    gt_boxes: np.ndarray,  # (G, 9) (cx,cy,cz,w,l,h,yaw,vx,vy)
+    rng: np.random.Generator,
+    rot_range: Tuple[float, float] = (-0.3925, 0.3925),
+    scale_range: Tuple[float, float] = (0.95, 1.05),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """World-frame rotation about z + isotropic scaling, applied coherently to
+    cameras and boxes: points map p -> s * Rz(a) p."""
+    a = float(rng.uniform(*rot_range))
+    s = float(rng.uniform(*scale_range))
+    c, si = np.cos(a), np.sin(a)
+    R4 = np.array(
+        [[c, -si, 0, 0], [si, c, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]], np.float64
+    )
+    S4 = np.diag([s, s, s, 1.0])
+    T = S4 @ R4  # world transform
+    Tinv = np.linalg.inv(T)
+    l2i = lidar2imgs @ Tinv[None]
+
+    out = gt_boxes.copy()
+    if len(out):
+        xyz = out[:, :3] @ (R4[:3, :3].T) * s
+        out[:, :3] = xyz
+        out[:, 3:6] *= s
+        out[:, 6] += a
+        if out.shape[1] > 7:
+            out[:, 7:9] = out[:, 7:9] @ np.array([[c, -si], [si, c]]).T * s
+    return l2i.astype(np.float64), out
+
+
+def normalize_image(
+    img: np.ndarray,
+    mean: Sequence[float],
+    std: Sequence[float],
+    to_rgb: bool = False,
+) -> np.ndarray:
+    """Per-channel (x - mean) / std; input HWC uint8/float in BGR order by
+    convention (caffe-style pretrained backbones)."""
+    img = img.astype(np.float32)
+    if to_rgb:
+        img = img[..., ::-1]
+    return (img - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+def pad_image(img: np.ndarray, target_hw: Tuple[int, int]) -> np.ndarray:
+    """Zero-pad bottom/right to the static (H, W)."""
+    H, W = target_hw
+    h, w = img.shape[:2]
+    assert h <= H and w <= W, (img.shape, target_hw)
+    out = np.zeros((H, W, img.shape[2]), img.dtype)
+    out[:h, :w] = img
+    return out

@@ -53,6 +53,45 @@ class PositionEncoder(nn.Module):
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(x)
 
 
+class ClsBranch(nn.Module):
+    """(Dense+LN+ReLU) x num_reg_fcs + Dense(num_classes); out-bias at the
+    focal prior -log((1-0.01)/0.01)."""
+
+    embed_dim: int
+    num_reg_fcs: int
+    out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_reg_fcs):
+            x = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"fc{i}")(x)
+            x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(x)
+            x = nn.relu(x)
+        return nn.Dense(
+            self.out,
+            dtype=self.dtype,
+            bias_init=nn.initializers.constant(-4.59511985013459),
+            name="out",
+        )(x)
+
+
+class RegBranch(nn.Module):
+    """(Dense+ReLU) x num_reg_fcs + Dense(code_size)."""
+
+    embed_dim: int
+    num_reg_fcs: int
+    out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_reg_fcs):
+            x = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"fc{i}")(x)
+            x = nn.relu(x)
+        return nn.Dense(self.out, dtype=self.dtype, name="out")(x)
+
+
 class PETRHead(nn.Module):
     num_classes: int = 10
     in_channels: int = 256
@@ -74,44 +113,6 @@ class PETRHead(nn.Module):
     deterministic: bool = True
     remat: bool = True
     dtype: Dtype = jnp.float32
-
-    def _branches(self):
-        """cls branch: (Dense+LN+ReLU)x2 + Dense(C); reg: (Dense+ReLU)x2 + Dense(10)."""
-
-        class ClsBranch(nn.Module):
-            embed_dim: int
-            num_reg_fcs: int
-            out: int
-            dtype: Dtype
-
-            @nn.compact
-            def __call__(self, x):
-                for i in range(self.num_reg_fcs):
-                    x = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"fc{i}")(x)
-                    x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(x)
-                    x = nn.relu(x)
-                # bias init = -log((1-p)/p), p=0.01 — focal-loss prior
-                return nn.Dense(
-                    self.out,
-                    dtype=self.dtype,
-                    bias_init=nn.initializers.constant(-4.59511985013459),
-                    name="out",
-                )(x)
-
-        class RegBranch(nn.Module):
-            embed_dim: int
-            num_reg_fcs: int
-            out: int
-            dtype: Dtype
-
-            @nn.compact
-            def __call__(self, x):
-                for i in range(self.num_reg_fcs):
-                    x = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"fc{i}")(x)
-                    x = nn.relu(x)
-                return nn.Dense(self.out, dtype=self.dtype, name="out")(x)
-
-        return ClsBranch, RegBranch
 
     @nn.compact
     def __call__(
@@ -180,23 +181,30 @@ class PETRHead(nn.Module):
         outs_dec = jnp.nan_to_num(outs_dec)
 
         # --- per-layer branches --------------------------------------------
-        ClsBranch, RegBranch = self._branches()
         ref = inverse_sigmoid(reference_points)  # (Q, 3) fp32
+
+        def make_branches(suffix):
+            cls_b = ClsBranch(
+                self.embed_dim, self.num_reg_fcs, self.num_classes, self.dtype,
+                name=f"cls_branch{suffix}",
+            )
+            reg_b = RegBranch(
+                self.embed_dim, self.num_reg_fcs, self.code_size, self.dtype,
+                name=f"reg_branch{suffix}",
+            )
+            return cls_b, reg_b
+
+        if self.shared_branches:
+            shared = make_branches("")
 
         cls_list, reg_list = [], []
         for lvl in range(self.num_layers):
-            suffix = "" if self.shared_branches else f"_{lvl}"
-            cls_out = ClsBranch(
-                self.embed_dim, self.num_reg_fcs, self.num_classes, self.dtype,
-                name=f"cls_branch{suffix}",
-            )(outs_dec[lvl])
-            reg_out = RegBranch(
-                self.embed_dim, self.num_reg_fcs, self.code_size, self.dtype,
-                name=f"reg_branch{suffix}",
-            )(outs_dec[lvl]).astype(jnp.float32)
+            cls_b, reg_b = shared if self.shared_branches else make_branches(f"_{lvl}")
+            cls_out = cls_b(outs_dec[lvl])
+            reg_out = reg_b(outs_dec[lvl]).astype(jnp.float32)
             # centers: offset + inverse_sigmoid(ref), then sigmoid (cx,cy @0:2, cz @4)
-            xy = jax.nn.sigmoid(reg_out[..., 0:2] + ref[None, None, :, 0:2])
-            z = jax.nn.sigmoid(reg_out[..., 4:5] + ref[None, None, :, 2:3])
+            xy = jax.nn.sigmoid(reg_out[..., 0:2] + ref[None, :, 0:2])
+            z = jax.nn.sigmoid(reg_out[..., 4:5] + ref[None, :, 2:3])
             reg_out = jnp.concatenate([xy, reg_out[..., 2:4], z, reg_out[..., 5:]], axis=-1)
             cls_list.append(cls_out.astype(jnp.float32))
             reg_list.append(reg_out)

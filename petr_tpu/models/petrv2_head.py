@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from petr_tpu.models.layers import MLP, SELayer
-from petr_tpu.models.petr_head import PositionEncoder
+from petr_tpu.models.petr_head import ClsBranch, PositionEncoder, RegBranch
 from petr_tpu.models.transformer import PETRTransformer
 from petr_tpu.ops.geometry import (
     inverse_sigmoid,
@@ -153,38 +153,34 @@ class PETRv2Head(nn.Module):
 
         ref = inverse_sigmoid(reference_points)
 
-        cls_list, reg_list = [], []
-        for lvl in range(self.num_layers):
-            suffix = "" if self.shared_branches else f"_{lvl}"
-            # cls branch: (Dense+LN+ReLU)x2 + Dense
-            y = outs_dec[lvl]
-            for i in range(self.num_reg_fcs):
-                y = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"cls_branch{suffix}_fc{i}")(y)
-                y = nn.LayerNorm(dtype=self.dtype, name=f"cls_branch{suffix}_ln{i}")(y)
-                y = nn.relu(y)
-            cls_out = nn.Dense(
-                self.num_classes,
-                dtype=self.dtype,
-                bias_init=nn.initializers.constant(-4.59511985013459),
-                name=f"cls_branch{suffix}_out",
-            )(y)
-
+        def make_branches(suffix):
+            cls_b = ClsBranch(
+                self.embed_dim, self.num_reg_fcs, self.num_classes, self.dtype,
+                name=f"cls_branch{suffix}",
+            )
             if self.with_multi_reg:
-                reg_out = RegLayer(
+                reg_b = RegLayer(
                     self.embed_dim, self.num_reg_fcs, dtype=self.dtype,
                     name=f"reg_branch{suffix}",
-                )(outs_dec[lvl]).astype(jnp.float32)
+                )
             else:
-                y = outs_dec[lvl]
-                for i in range(self.num_reg_fcs):
-                    y = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"reg_branch{suffix}_fc{i}")(y)
-                    y = nn.relu(y)
-                reg_out = nn.Dense(
-                    self.code_size, dtype=self.dtype, name=f"reg_branch{suffix}_out"
-                )(y).astype(jnp.float32)
+                reg_b = RegBranch(
+                    self.embed_dim, self.num_reg_fcs, self.code_size, self.dtype,
+                    name=f"reg_branch{suffix}",
+                )
+            return cls_b, reg_b
 
-            xy = jax.nn.sigmoid(reg_out[..., 0:2] + ref[None, None, :, 0:2])
-            z = jax.nn.sigmoid(reg_out[..., 4:5] + ref[None, None, :, 2:3])
+        if self.shared_branches:
+            shared = make_branches("")
+
+        cls_list, reg_list = [], []
+        for lvl in range(self.num_layers):
+            cls_b, reg_b = shared if self.shared_branches else make_branches(f"_{lvl}")
+            cls_out = cls_b(outs_dec[lvl])
+            reg_out = reg_b(outs_dec[lvl]).astype(jnp.float32)
+
+            xy = jax.nn.sigmoid(reg_out[..., 0:2] + ref[None, :, 0:2])
+            z = jax.nn.sigmoid(reg_out[..., 4:5] + ref[None, :, 2:3])
             vel = reg_out[..., 8:]
             if self.with_time:
                 vel = vel / mean_dt[:, None, None]

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from petr_tpu.models.layers import FFN, MultiheadAttention
+from petr_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, constrain
 
 Dtype = Any
 
@@ -147,12 +148,17 @@ class PETRTransformer(nn.Module):
         pos_embed: jax.Array,  # (B, N, H, W, C)
     ) -> jax.Array:
         B, N, H, W, C = feats.shape
-        memory = feats.reshape(B, N * H * W, C)
-        key_pos = pos_embed.reshape(B, N * H * W, C).astype(self.dtype)
-        key_padding_mask = masks.reshape(B, N * H * W)
+        # Token-axis sharding: K/V tokens split over the model axis, queries
+        # replicated — XLA inserts the partial-softmax psum over ICI.
+        memory = constrain(feats.reshape(B, N * H * W, C), (DATA_AXIS, MODEL_AXIS, None))
+        key_pos = constrain(
+            pos_embed.reshape(B, N * H * W, C).astype(self.dtype),
+            (DATA_AXIS, MODEL_AXIS, None),
+        )
+        key_padding_mask = constrain(masks.reshape(B, N * H * W), (DATA_AXIS, MODEL_AXIS))
         Q = query_embed.shape[0]
         query_pos = jnp.broadcast_to(query_embed[None], (B, Q, C)).astype(self.dtype)
-        target = jnp.zeros((B, Q, C), self.dtype)
+        target = constrain(jnp.zeros((B, Q, C), self.dtype), (DATA_AXIS, None, None))
         return PETRTransformerDecoder(
             self.num_layers,
             self.embed_dim,

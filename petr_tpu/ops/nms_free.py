@@ -36,6 +36,7 @@ def nms_free_decode(
         (max_num,), labels (max_num,) int32, valid (max_num,) bool.
     """
     scores_all = jax.nn.sigmoid(cls_logits.astype(jnp.float32)).reshape(-1)
+    max_num = min(max_num, scores_all.shape[0])
     scores, idx = jax.lax.top_k(scores_all, max_num)
     labels = (idx % num_classes).astype(jnp.int32)
     box_idx = idx // num_classes

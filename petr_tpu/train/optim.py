@@ -1,0 +1,84 @@
+"""Optimizer + LR schedule matching the reference recipe.
+
+Reference (`projects/configs/petr/petr_vovnet_gridmask_p4_800x320.py:241-260`):
+AdamW lr 2e-4 (backbone x0.1), weight decay 0.01, grad-clip global-norm 35,
+cosine annealing to 1e-3 of peak with 500-iter linear warmup (ratio 1/3),
+24 epochs. FP16 loss scaling is replaced by bf16 compute (no scaling needed
+on TPU); frozen-BN statistics are masked out of the update.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from petr_tpu.configs.config import OptimConfig
+
+
+def make_lr_schedule(cfg: OptimConfig, total_steps: int) -> Callable[[jax.Array], jax.Array]:
+    """mmcv-style CosineAnnealing with linear warmup.
+
+    warmup (iter < warmup_iters): lr * (1 - (1 - t/T_w) * (1 - ratio))
+    after: cosine from lr to lr*min_lr_ratio over total_steps (progress
+    measured from step 0, as mmcv does).
+    """
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        t = jnp.minimum(step / max(cfg.warmup_iters, 1), 1.0)
+        warm = cfg.lr * (1.0 - (1.0 - t) * (1.0 - cfg.warmup_ratio))
+        progress = jnp.clip(step / max(total_steps, 1), 0.0, 1.0)
+        target = cfg.lr * cfg.min_lr_ratio
+        cos = target + 0.5 * (cfg.lr - target) * (1.0 + jnp.cos(jnp.pi * progress))
+        return jnp.where(step < cfg.warmup_iters, jnp.minimum(warm, cos), cos)
+
+    return schedule
+
+
+def _is_frozen_stat(path) -> bool:
+    leaf = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+    return leaf in ("mean", "var")
+
+
+def _is_backbone(path) -> bool:
+    first = path[0].key if hasattr(path[0], "key") else str(path[0])
+    return first == "backbone"
+
+
+def param_labels(params) -> Any:
+    """Label tree: 'frozen' (BN stats), 'backbone', or 'main'."""
+
+    def label(path, _):
+        if _is_frozen_stat(path):
+            return "frozen"
+        if _is_backbone(path):
+            return "backbone"
+        return "main"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def build_optimizer(cfg: OptimConfig, total_steps: int, params) -> optax.GradientTransformation:
+    sched = make_lr_schedule(cfg, total_steps)
+
+    def adamw(lr_mult: float):
+        return optax.adamw(
+            learning_rate=lambda s: sched(s) * lr_mult,
+            b1=0.9,
+            b2=0.999,
+            eps=1e-8,
+            weight_decay=cfg.weight_decay,
+        )
+
+    tx = optax.multi_transform(
+        {
+            "main": adamw(1.0),
+            "backbone": adamw(cfg.backbone_lr_mult),
+            "frozen": optax.set_to_zero(),
+        },
+        param_labels(params),
+    )
+    return optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)

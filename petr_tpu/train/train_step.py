@@ -1,0 +1,133 @@
+"""Jittable train / eval steps over the PETR detector.
+
+The step is a pure function of (state, batch, rng): forward in bf16 with
+fp32 loss islands, device-side Hungarian matching, AdamW update with
+global-norm clipping. Under a mesh, gradient reduction happens implicitly via
+pjit shardings (data-parallel batch axis); the only explicit collective is
+the optional pmean of loss normalizers (handled inside petr_set_loss).
+
+Batch dict contract (all statically shaped):
+    images     (B, N, H, W, 3) float32, normalized
+    img2lidar  (B, N, 4, 4)    float32
+    img_hw     (B, N, 2)       float32 valid (h, w) before padding
+    gt_boxes   (B, G, 9)       float32, gravity-center z
+    gt_labels  (B, G)          int32
+    gt_valid   (B, G)          bool
+    timestamp  (B, N)          float32 (v2 only; zeros otherwise)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from petr_tpu.configs.config import ExperimentConfig
+from petr_tpu.models.detector import PETRDetector
+from petr_tpu.ops.nms_free import nms_free_decode
+from petr_tpu.train.losses import petr_set_loss
+from petr_tpu.train.optim import build_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )
+
+
+def create_train_state(
+    cfg: ExperimentConfig, rng: jax.Array, total_steps: int, sample_batch: Dict[str, jax.Array]
+) -> TrainState:
+    model = PETRDetector(cfg.model, deterministic=True)
+    variables = model.init(
+        rng,
+        sample_batch["images"],
+        sample_batch["img2lidar"],
+        sample_batch["img_hw"],
+        timestamp=sample_batch.get("timestamp"),
+    )
+    params = variables["params"]
+    tx = build_optimizer(cfg.train.optim, total_steps, params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params), tx=tx)
+
+
+def make_train_step(cfg: ExperimentConfig, axis_name: Optional[str] = None):
+    model = PETRDetector(cfg.model, deterministic=False)
+    ocfg = cfg.train.optim
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        gm_rng, drop_rng = jax.random.split(step_rng)
+
+        def loss_fn(params):
+            outputs = model.apply(
+                {"params": params},
+                batch["images"],
+                batch["img2lidar"],
+                batch["img_hw"],
+                timestamp=batch.get("timestamp"),
+                grid_mask_rng=gm_rng,
+                rngs={"dropout": drop_rng},
+            )
+            total, losses = petr_set_loss(
+                outputs,
+                batch["gt_boxes"],
+                batch["gt_labels"],
+                batch["gt_valid"],
+                num_classes=cfg.model.head.num_classes,
+                cls_weight=ocfg.cls_weight,
+                bbox_weight=ocfg.bbox_weight,
+                code_weights=ocfg.code_weights,
+                sync_cls_avg_factor=ocfg.sync_cls_avg_factor,
+                axis_name=axis_name,
+            )
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            total = jax.lax.pmean(total, axis_name)
+        new_state = state.apply_gradients(grads)
+        metrics = {"loss": total, **losses}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: ExperimentConfig):
+    model = PETRDetector(cfg.model, deterministic=True)
+
+    def eval_step(params, batch: Dict[str, jax.Array]):
+        outputs = model.apply(
+            {"params": params},
+            batch["images"],
+            batch["img2lidar"],
+            batch["img_hw"],
+            timestamp=batch.get("timestamp"),
+        )
+        # decode the final layer per sample
+        decode = jax.vmap(
+            lambda cl, co: nms_free_decode(
+                cl,
+                co,
+                max_num=cfg.max_det,
+                num_classes=cfg.model.head.num_classes,
+                post_center_range=cfg.post_center_range,
+                score_threshold=cfg.score_threshold,
+            )
+        )
+        return decode(outputs["cls_logits"][-1], outputs["bbox_codes"][-1])
+
+    return eval_step

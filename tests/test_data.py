@@ -1,0 +1,196 @@
+"""Data pipeline: IDA geometry consistency, BEV aug coherence, loader."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from petr_tpu.configs.config import DataConfig
+from petr_tpu.data.dataset import Loader, NuScenesDataset, cam_matrices, collate_batch
+from petr_tpu.data.transforms import (
+    IdaParams,
+    apply_ida,
+    bev_rotate_scale,
+    compose_lidar2img,
+    ida_matrix,
+    normalize_image,
+    pad_image,
+    sample_ida_params,
+    update_intrinsics_ida,
+)
+
+
+def project(l2i, p3):
+    q = l2i @ np.array([*p3, 1.0])
+    return q[:2] / q[2]
+
+
+def test_ida_matrix_tracks_pixels():
+    """A world point projected with updated intrinsics must land where the
+    image op sequence moved its pixel."""
+    rng = np.random.default_rng(0)
+    for flip in (False, True):
+        p = IdaParams(resize=0.5, resize_dims=(800, 450), crop=(40, 80, 840 - 40 - 0, 80 + 320), flip=flip, rotate_deg=0.0)
+        # adjust crop to final dims 800x320 -> (40, 80, 840, 400) invalid; use proper
+        p = IdaParams(0.5, (800, 450), (0, 130, 800, 450), flip, 0.0)
+        M = ida_matrix(p)
+        # pixel u,v in source image -> resize*u - crop_x etc.
+        u, v = 600.0, 400.0
+        q = M @ np.array([u, v, 1.0])
+        exp_u = 0.5 * u - 0
+        exp_v = 0.5 * v - 130
+        if flip:
+            exp_u = 800 - exp_u
+        np.testing.assert_allclose(q[:2], [exp_u, exp_v], atol=1e-6)
+
+
+def test_ida_rotation_about_center():
+    p = IdaParams(1.0, (100, 100), (0, 0, 100, 100), False, 90.0)
+    M = ida_matrix(p)
+    # center is fixed
+    np.testing.assert_allclose(M @ np.array([50, 50, 1.0]), [50, 50, 1.0], atol=1e-6)
+
+
+def test_update_intrinsics_then_compose():
+    K = np.eye(4)
+    K[0, 0] = K[1, 1] = 500.0
+    K[0, 2], K[1, 2] = 800.0, 450.0
+    E = np.eye(4)
+    p = IdaParams(0.5, (800, 450), (0, 130, 800, 450), False, 0.0)
+    Knew = update_intrinsics_ida(K, p)
+    l2i = compose_lidar2img(Knew, E)
+    # world point at (x, y, z=depth) projected with scaled/cropped intrinsics
+    pt = np.array([1.0, 0.5, 10.0])
+    uv0 = project(compose_lidar2img(K, E), pt)
+    uv1 = project(l2i, pt)
+    np.testing.assert_allclose(uv1, uv0 * 0.5 - [0, 130], atol=1e-6)
+
+
+def test_bev_rotate_scale_projection_consistency():
+    """After world rot+scale, transformed box centers project to the same
+    pixels through the updated lidar2img."""
+    rng = np.random.default_rng(0)
+    K = np.eye(4)
+    K[0, 0] = K[1, 1] = 500.0
+    K[0, 2], K[1, 2] = 400.0, 200.0
+    # camera looking along +x, world z up
+    E = np.eye(4)
+    R = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], float)
+    Et = np.eye(4)
+    Et[:3, :3] = R
+    l2i = (K @ Et)[None]  # (1, 4, 4)
+    boxes = np.array([[10.0, 2.0, -1.0, 2.0, 4.0, 1.5, 0.3, 1.0, 0.5]])
+    uv_before = project(l2i[0], boxes[0, :3])
+    l2i2, boxes2 = bev_rotate_scale(l2i, boxes, rng)
+    uv_after = project(l2i2[0], boxes2[0, :3])
+    np.testing.assert_allclose(uv_after, uv_before, atol=1e-4)
+    # dims scaled by the same factor everywhere
+    s = boxes2[0, 3] / boxes[0, 3]
+    np.testing.assert_allclose(boxes2[0, 3:6], boxes[0, 3:6] * s, rtol=1e-6)
+
+
+def test_normalize_and_pad():
+    img = np.full((10, 20, 3), 100.0, np.float32)
+    out = normalize_image(img, (50, 50, 50), (2, 2, 2))
+    np.testing.assert_allclose(out, 25.0)
+    padded = pad_image(out, (16, 32))
+    assert padded.shape == (16, 32, 3)
+    assert (padded[10:] == 0).all() and (padded[:, 20:] == 0).all()
+
+
+def test_eval_ida_deterministic():
+    rng = np.random.default_rng(0)
+    a = sample_ida_params(rng, (900, 1600), (320, 800), (0.47, 0.625), training=False)
+    b = sample_ida_params(rng, (900, 1600), (320, 800), (0.47, 0.625), training=False)
+    assert a == b
+    assert a.resize == pytest.approx(0.5)  # max(320/900, 800/1600)
+    assert a.crop[2] - a.crop[0] == 800 and a.crop[3] - a.crop[1] == 320
+
+
+def make_synth_infos(tmp_path, n=4, n_prev=2):
+    """Synthetic info records with tiny on-disk images."""
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir(exist_ok=True)
+    from petr_tpu.data.dataset import CAM_ORDER
+
+    def make_cam(i, t):
+        path = img_dir / f"{i}_{t}.jpg"
+        Image.fromarray(rng.integers(0, 255, (90, 160, 3), dtype=np.uint8).astype(np.uint8)).save(path)
+        yaw = 2 * np.pi * i / 6
+        return {
+            "data_path": str(path),
+            "timestamp": t,
+            "cam_intrinsic": np.array([[400.0, 0, 80], [0, 400.0, 45], [0, 0, 1]]),
+            "sensor2lidar_rotation": np.array(
+                [[np.cos(yaw), -np.sin(yaw), 0], [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]]
+            ),
+            "sensor2lidar_translation": rng.normal(0, 1, 3),
+        }
+
+    infos = []
+    for s in range(n):
+        t0 = 100.0 + s * 0.5
+        infos.append(
+            {
+                "token": f"tok{s}",
+                "timestamp": t0,
+                "lidar_path": "x",
+                "cams": {c: make_cam(i, t0) for i, c in enumerate(CAM_ORDER)},
+                "sweeps_cams": [
+                    {c: make_cam(i, t0 - 0.5 * (k + 1)) for i, c in enumerate(CAM_ORDER)}
+                    for k in range(n_prev)
+                ],
+                "gt_boxes": np.concatenate(
+                    [
+                        rng.uniform(-30, 30, (5, 2)),
+                        rng.uniform(-2, 0, (5, 1)),
+                        rng.uniform(1, 3, (5, 3)),
+                        rng.uniform(-np.pi, np.pi, (5, 1)),
+                    ],
+                    -1,
+                ),
+                "gt_velocity": rng.normal(0, 2, (5, 2)),
+                "gt_labels": rng.integers(0, 10, 5),
+                "valid_flag": np.ones(5, bool),
+            }
+        )
+    return infos
+
+
+def test_dataset_sample_shapes(tmp_path):
+    infos = make_synth_infos(tmp_path)
+    cfg = DataConfig(image_size=(32, 80), final_dim=(32, 80), max_gt=8)
+    ds = NuScenesDataset(infos, cfg, training=True, src_hw=(90, 160))
+    s = ds.get(0, seed=7)
+    assert s["images"].shape == (6, 32, 80, 3)
+    assert s["img2lidar"].shape == (6, 4, 4)
+    assert s["gt_boxes"].shape == (8, 9)
+    assert s["gt_valid"].sum() <= 5
+    # img2lidar really is the inverse
+    np.testing.assert_allclose(
+        s["img2lidar"][0] @ s["lidar2img"][0], np.eye(4), atol=1e-3
+    )
+
+
+def test_dataset_v2_two_frames(tmp_path):
+    infos = make_synth_infos(tmp_path)
+    cfg = DataConfig(image_size=(32, 80), final_dim=(32, 80), max_gt=8, num_frames=2)
+    ds = NuScenesDataset(infos, cfg, training=False, src_hw=(90, 160), sweep_range=(0, 2))
+    s = ds.get(1, seed=0)
+    assert s["images"].shape == (12, 32, 80, 3)
+    ts = s["timestamp"].reshape(2, 6)
+    assert (ts[0] == 0).all()  # current frame at reference time
+    assert (ts[1] < 0).all()  # previous frame earlier
+
+
+def test_loader_deterministic_order(tmp_path):
+    infos = make_synth_infos(tmp_path)
+    cfg = DataConfig(image_size=(32, 80), final_dim=(32, 80), max_gt=8)
+    ds = NuScenesDataset(infos, cfg, training=True, src_hw=(90, 160))
+    loader = Loader(ds, batch_size=2, seed=0, num_threads=2)
+    a = [b["tokens"] for b in loader.epoch(0)]
+    b = [b["tokens"] for b in loader.epoch(0)]
+    assert a == b
+    assert len(a) == 2
+    c = [b["tokens"] for b in loader.epoch(1)]
+    assert a != c  # reshuffled

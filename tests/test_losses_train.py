@@ -1,0 +1,173 @@
+"""Set loss + end-to-end train step on a tiny detector (CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from petr_tpu.configs.config import (
+    BackboneConfig,
+    DataConfig,
+    ExperimentConfig,
+    HeadConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+)
+from petr_tpu.train.losses import petr_set_loss
+from petr_tpu.train.optim import make_lr_schedule, param_labels
+from petr_tpu.train.train_step import create_train_state, make_eval_step, make_train_step
+from tests.test_heads import make_cams
+
+
+def tiny_config():
+    return ExperimentConfig(
+        name="tiny",
+        model=ModelConfig(
+            backbone=BackboneConfig(
+                kind="resnet", spec="r50", out_indices=(3,), dcn_stages=(),
+                with_fpn=False,
+            ),
+            head=HeadConfig(
+                num_query=24, embed_dim=32, num_layers=2, num_heads=4,
+                ffn_dim=64, depth_num=8, dropout_rate=0.0,
+            ),
+            use_grid_mask=False,
+            compute_dtype="float32",
+        ),
+        data=DataConfig(image_size=(64, 128), max_gt=8),
+        train=TrainConfig(optim=OptimConfig(warmup_iters=2)),
+    )
+
+
+def tiny_batch(B=1, N=2, H=64, W=128, G=8, seed=0):
+    rng = np.random.RandomState(seed)
+    images = rng.randn(B, N, H, W, 3).astype(np.float32)
+    img2lidar = make_cams(B, N, seed)
+    img_hw = np.full((B, N, 2), [H, W], np.float32)
+    gt_boxes = np.concatenate(
+        [
+            rng.uniform(-30, 30, (B, G, 2)),
+            rng.uniform(-3, 1, (B, G, 1)),
+            rng.uniform(1, 4, (B, G, 3)),
+            rng.uniform(-np.pi, np.pi, (B, G, 1)),
+            rng.uniform(-2, 2, (B, G, 2)),
+        ],
+        -1,
+    ).astype(np.float32)
+    gt_labels = rng.randint(0, 10, (B, G)).astype(np.int32)
+    gt_valid = np.zeros((B, G), np.bool_)
+    gt_valid[:, :5] = True
+    return {
+        "images": jnp.asarray(images),
+        "img2lidar": jnp.asarray(img2lidar),
+        "img_hw": jnp.asarray(img_hw),
+        "gt_boxes": jnp.asarray(gt_boxes),
+        "gt_labels": jnp.asarray(gt_labels),
+        "gt_valid": jnp.asarray(gt_valid),
+    }
+
+
+def fake_outputs(B, Q, G, gt_boxes, gt_labels, gt_valid, L=2, perfect=False, seed=0):
+    from petr_tpu.ops.boxes import encode_bbox
+
+    rng = np.random.RandomState(seed)
+    logits = np.full((L, B, Q, 10), -8.0, np.float32)
+    codes = rng.randn(L, B, Q, 10).astype(np.float32)
+    if perfect:
+        gt_codes = np.asarray(encode_bbox(gt_boxes))
+        for l in range(L):
+            for b in range(B):
+                for g in range(G):
+                    if gt_valid[b, g]:
+                        codes[l, b, g] = gt_codes[b, g]
+                        logits[l, b, g, gt_labels[b, g]] = 8.0
+    return {"cls_logits": jnp.asarray(logits), "bbox_codes": jnp.asarray(codes)}
+
+
+def test_perfect_predictions_near_zero_loss():
+    b = tiny_batch()
+    B, G = 1, 8
+    out = fake_outputs(
+        B, 24, G, np.asarray(b["gt_boxes"]), np.asarray(b["gt_labels"]),
+        np.asarray(b["gt_valid"]), perfect=True,
+    )
+    total, losses = petr_set_loss(out, b["gt_boxes"], b["gt_labels"], b["gt_valid"])
+    assert float(losses["loss_bbox"]) < 1e-3
+    assert float(losses["loss_cls"]) < 0.05
+    assert float(losses["num_pos"]) == 5
+
+
+def test_random_predictions_positive_loss():
+    b = tiny_batch()
+    out = fake_outputs(
+        1, 24, 8, np.asarray(b["gt_boxes"]), np.asarray(b["gt_labels"]),
+        np.asarray(b["gt_valid"]), perfect=False,
+    )
+    total, losses = petr_set_loss(out, b["gt_boxes"], b["gt_labels"], b["gt_valid"])
+    assert float(total) > 1.0
+    assert np.isfinite(float(total))
+    # per-layer keys present
+    assert "d0.loss_cls" in losses and "loss_cls" in losses
+
+
+def test_zero_gt_finite_loss():
+    b = tiny_batch()
+    valid = jnp.zeros_like(b["gt_valid"])
+    out = fake_outputs(
+        1, 24, 8, np.asarray(b["gt_boxes"]), np.asarray(b["gt_labels"]),
+        np.zeros((1, 8), bool),
+    )
+    total, losses = petr_set_loss(out, b["gt_boxes"], b["gt_labels"], valid)
+    assert np.isfinite(float(total))
+
+
+def test_lr_schedule():
+    cfg = OptimConfig(lr=2e-4, warmup_iters=500, warmup_ratio=1 / 3, min_lr_ratio=1e-3)
+    s = make_lr_schedule(cfg, 10000)
+    assert float(s(0)) == pytest.approx(2e-4 / 3, rel=1e-5)
+    assert float(s(500)) == pytest.approx(2e-4, rel=0.05)
+    assert float(s(10000)) == pytest.approx(2e-7, rel=1e-3)
+    # monotone decrease after warmup
+    vals = [float(s(i)) for i in range(600, 10000, 1000)]
+    assert all(a > b for a, b in zip(vals, vals[1:]))
+
+
+@pytest.mark.slow
+def test_train_step_reduces_loss_and_masks_frozen_stats():
+    cfg = tiny_config()
+    batch = tiny_batch()
+    state = create_train_state(cfg, jax.random.PRNGKey(0), 100, batch)
+
+    labels = param_labels(state.params)
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    assert any(v == "frozen" for _, v in flat)
+    assert any(v == "backbone" for _, v in flat)
+
+    step = jax.jit(make_train_step(cfg))
+    rng = jax.random.PRNGKey(1)
+    p0_stat = np.asarray(state.params["backbone"]["stem_bn"]["mean"]).copy()
+
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    # frozen BN stats untouched
+    np.testing.assert_array_equal(
+        np.asarray(state.params["backbone"]["stem_bn"]["mean"]), p0_stat
+    )
+
+
+@pytest.mark.slow
+def test_eval_step_shapes():
+    cfg = tiny_config()
+    batch = tiny_batch()
+    state = create_train_state(cfg, jax.random.PRNGKey(0), 100, batch)
+    ev = jax.jit(make_eval_step(cfg))
+    det = ev(state.params, batch)
+    k = min(cfg.max_det, 24 * 10)  # capped at Q * num_classes
+    assert det["boxes"].shape == (1, k, 9)
+    assert det["scores"].shape == (1, k)
+    assert det["labels"].shape == (1, k)

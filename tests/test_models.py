@@ -1,0 +1,127 @@
+"""Model modules: shapes, parameter structure, behavioral invariants."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from petr_tpu.models.layers import FrozenBatchNorm, MultiheadAttention
+from petr_tpu.models.resnet import ResNet
+from petr_tpu.models.vovnet import VoVNet
+from petr_tpu.models.fpn import CPFPN
+from petr_tpu.models.transformer import PETRTransformer
+from petr_tpu.models.grid_mask import grid_mask
+
+
+def test_frozen_bn_is_affine():
+    bn = FrozenBatchNorm()
+    x = jnp.ones((2, 4, 4, 8))
+    params = bn.init(jax.random.PRNGKey(0), x)
+    p = params["params"]
+    p = jax.tree.map(lambda a: a, p)
+    p["mean"] = jnp.full((8,), 2.0)
+    p["var"] = jnp.full((8,), 4.0)
+    p["scale"] = jnp.full((8,), 3.0)
+    p["bias"] = jnp.full((8,), 1.0)
+    y = bn.apply({"params": p}, x)
+    # (1 - 2) / 2 * 3 + 1 = -0.5
+    np.testing.assert_allclose(np.asarray(y), -0.5, rtol=1e-5)
+
+
+def test_mha_matches_naive_sdpa():
+    """Our MHA == manual softmax attention with the same projections."""
+    mha = MultiheadAttention(embed_dim=16, num_heads=4)
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (2, 5, 16))
+    kv = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 16))
+    params = mha.init(rng, q, kv, kv)
+    out = mha.apply(params, q, kv, kv)
+    assert out.shape == (2, 5, 16)
+
+    p = params["params"]
+
+    def dense(name, x):
+        return x @ p[name]["kernel"] + p[name]["bias"]
+
+    qh = dense("q_proj", q).reshape(2, 5, 4, 4)
+    kh = dense("k_proj", kv).reshape(2, 7, 4, 4)
+    vh = dense("v_proj", kv).reshape(2, 7, 4, 4)
+    logits = jnp.einsum("bqhd,blhd->bhql", qh, kh) / 2.0
+    attn = jax.nn.softmax(logits, -1)
+    want = dense("out_proj", jnp.einsum("bhql,blhd->bqhd", attn, vh).reshape(2, 5, 16))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+
+def test_mha_key_padding_mask():
+    mha = MultiheadAttention(embed_dim=8, num_heads=2)
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 8))
+    kv = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 8))
+    params = mha.init(jax.random.PRNGKey(2), q, kv, kv)
+    mask = jnp.zeros((1, 6), bool).at[0, 3:].set(True)
+    out_masked = mha.apply(params, q, kv, kv, key_padding_mask=mask)
+    # garbage in padded keys must not change output
+    kv2 = kv.at[0, 3:].set(999.0)
+    out_masked2 = mha.apply(params, q, kv2, kv2, key_padding_mask=mask)
+    np.testing.assert_allclose(np.asarray(out_masked), np.asarray(out_masked2), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_resnet50_shapes():
+    m = ResNet(depth=50, out_indices=(2, 3), remat_stages=False)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(params, x)
+    assert outs[0].shape == (1, 4, 4, 1024)  # stride 16
+    assert outs[1].shape == (1, 2, 2, 2048)  # stride 32
+
+
+@pytest.mark.slow
+def test_vovnet_shapes_and_param_count():
+    m = VoVNet(spec="V-99-eSE", out_indices=(2, 3), remat=False)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(params, x)
+    assert outs[0].shape == (1, 4, 4, 768)
+    assert outs[1].shape == (1, 2, 2, 1024)
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    # V2-99 ~ 69M params (conv weights; BN stats counted too)
+    assert 60e6 < n_params < 80e6, n_params
+
+
+def test_cpfpn_shapes():
+    m = CPFPN(out_channels=32, num_outs=2)
+    ins = [jnp.zeros((2, 8, 8, 48)), jnp.zeros((2, 4, 4, 64))]
+    params = m.init(jax.random.PRNGKey(0), ins)
+    outs = m.apply(params, ins)
+    assert outs[0].shape == (2, 8, 8, 32)
+    assert outs[1].shape == (2, 4, 4, 32)
+
+
+def test_transformer_shapes_and_mask_invariance():
+    m = PETRTransformer(num_layers=2, embed_dim=32, num_heads=4, ffn_dim=64, remat=False)
+    B, N, H, W, C, Q = 1, 2, 3, 4, 32, 10
+    feats = jax.random.normal(jax.random.PRNGKey(0), (B, N, H, W, C))
+    pos = jax.random.normal(jax.random.PRNGKey(1), (B, N, H, W, C))
+    masks = jnp.zeros((B, N, H, W), bool).at[:, :, :, 3].set(True)
+    qe = jax.random.normal(jax.random.PRNGKey(2), (Q, C))
+    params = m.init(jax.random.PRNGKey(3), feats, masks, qe, pos)
+    out = m.apply(params, feats, masks, qe, pos)
+    assert out.shape == (2, B, Q, C)
+    # padded tokens must not influence queries
+    feats2 = feats.at[:, :, :, 3].set(777.0)
+    out2 = m.apply(params, feats2, masks, qe, pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-4)
+
+
+def test_grid_mask_properties():
+    imgs = jnp.ones((2, 3, 32, 32, 3))
+    out = grid_mask(jax.random.PRNGKey(0), imgs, prob=1.0)
+    a = np.asarray(out)
+    assert set(np.unique(a)).issubset({0.0, 1.0})
+    frac = a.mean()
+    assert 0.3 < frac < 1.0  # some pixels masked, most kept
+    # same mask across views of a sample
+    np.testing.assert_array_equal(a[0, 0], a[0, 1])
+    # prob=0 -> identity
+    out0 = grid_mask(jax.random.PRNGKey(0), imgs, prob=0.0)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(imgs))
