@@ -29,7 +29,10 @@ def main():
     cfg = get_config("petr_vov_p4_800x320")
     model = PETRDetector(cfg.model, deterministic=True)
     B, N, H, W = 1, 6, *cfg.data.image_size
-    batch = ge._batch(B, N, H, W, 8)
+    # distinct input batches, synced per iteration — identical async dispatches
+    # can be coalesced by the runtime and undercount wall time
+    batches = [ge._batch(B, N, H, W, 8, seed=s) for s in range(4)]
+    batch = batches[0]
     variables = model.init(
         jax.random.PRNGKey(0), batch["images"], batch["img2lidar"], batch["img_hw"]
     )
@@ -39,18 +42,18 @@ def main():
     def forward(params, images, img2lidar, img_hw):
         return model.apply({"params": params}, images, img2lidar, img_hw)
 
-    args = (params, batch["images"], batch["img2lidar"], batch["img_hw"])
+    def run(i):
+        b = batches[i % len(batches)]
+        return forward(params, b["images"], b["img2lidar"], b["img_hw"])
 
     # warmup (includes compile)
-    for _ in range(5):
-        out = forward(*args)
-    jax.block_until_ready(out)
+    for i in range(5):
+        jax.block_until_ready(run(i))
 
     iters = 30
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(*args)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        jax.block_until_ready(run(i))
     dt = time.perf_counter() - t0
 
     fps = iters * B / dt

@@ -1,0 +1,96 @@
+"""Inference FPS benchmark CLI (reference `tools/analysis_tools/benchmark.py`).
+
+    python -m petr_tpu.cli.benchmark --config petr_vov_p4_800x320 [--train]
+
+Warmup 5 iterations, synchronized timing, reports samples/s (one sample =
+num_views images). --train times the full training step instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="petr_vov_p4_800x320")
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--train", action="store_true")
+    args = p.parse_args()
+
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    from petr_tpu.configs import get_config
+    from petr_tpu.models import PETRDetector
+    from petr_tpu.train import create_train_state, make_train_step
+
+    cfg = get_config(args.config)
+    B = args.batch_size
+    N = cfg.data.num_views * cfg.data.num_frames
+    H, W = cfg.data.image_size
+    # distinct batches: identical async dispatches can be coalesced by the
+    # runtime and undercount wall time
+    batches = [
+        ge._batch(B, N, H, W, cfg.data.max_gt, with_ts=cfg.data.num_frames > 1, seed=s)
+        for s in range(4)
+    ]
+    batch = batches[0]
+
+    if args.train:
+        state = create_train_state(cfg, jax.random.PRNGKey(0), 1000, batch)
+        step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+        rng = jax.random.PRNGKey(1)
+
+        def run(i=0):
+            nonlocal state
+            state, m = step(state, batches[i % len(batches)], rng)
+            return m
+
+    else:
+        model = PETRDetector(cfg.model, deterministic=True)
+        variables = model.init(
+            jax.random.PRNGKey(0), batch["images"], batch["img2lidar"], batch["img_hw"],
+            timestamp=batch.get("timestamp"),
+        )
+        fwd = jax.jit(
+            lambda p, b: model.apply(
+                {"params": p}, b["images"], b["img2lidar"], b["img_hw"],
+                timestamp=b.get("timestamp"),
+            )
+        )
+        params = variables["params"]
+
+        def run(i=0):
+            return fwd(params, batches[i % len(batches)])
+
+    for i in range(args.warmup):
+        jax.block_until_ready(run(i))
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        jax.block_until_ready(run(i))
+    dt = time.perf_counter() - t0
+    mode = "train" if args.train else "inference"
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.config}_{mode}",
+                "value": round(args.iters * B / dt, 3),
+                "unit": "samples/s",
+                "ms_per_iter": round(1000 * dt / args.iters, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

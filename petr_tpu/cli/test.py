@@ -1,0 +1,134 @@
+"""Evaluation CLI (reference `tools/test.py` capability).
+
+    python -m petr_tpu.cli.test --config petr_vov_p4_800x320 \
+        --infos data/nuscenes_infos_val.pkl --data-root data/nuscenes \
+        --ckpt work_dirs/petr_vov/ckpts/step_00001234 [--out results.json]
+
+Runs NMS-free decoding over the val split and computes nuScenes mAP/NDS with
+the built-in evaluator; optionally dumps a results json (nuScenes submission
+schema) for the official devkit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--infos", required=True)
+    p.add_argument("--data-root", default="")
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--out", default=None, help="dump detections json")
+    p.add_argument("--max-samples", type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from petr_tpu.configs import get_config
+    from petr_tpu.data import Loader, NuScenesDataset
+    from petr_tpu.metrics.nuscenes import (
+        DetectionBox,
+        boxes_from_arrays,
+        evaluate_detections,
+    )
+    from petr_tpu.train import create_train_state, make_eval_step
+    from petr_tpu.train.checkpoint import load_params
+
+    cfg = get_config(args.config)
+    ds = NuScenesDataset.from_pkl(
+        args.infos, cfg.data, training=False, data_root=args.data_root
+    )
+    if args.max_samples:
+        ds.infos = ds.infos[: args.max_samples]
+    loader = Loader(ds, args.batch_size, shuffle=False, drop_last=False)
+
+    sample = next(iter(loader.epoch(0)))
+    jb = {k: jnp.asarray(v) for k, v in sample.items() if k != "tokens"}
+    state = create_train_state(cfg, jax.random.PRNGKey(0), 1, jb)
+    params = state.params
+    if args.ckpt:
+        params = load_params(args.ckpt, params)
+
+    eval_step = jax.jit(make_eval_step(cfg))
+
+    preds, gts = {}, {}
+    t0 = time.time()
+    n = 0
+    for batch in loader.epoch(0):
+        tokens = batch.pop("tokens")
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        det = jax.device_get(eval_step(params, jb))
+        for i, tok in enumerate(tokens):
+            preds[tok] = boxes_from_arrays(
+                tok, det["boxes"][i], det["scores"][i], det["labels"][i], det["valid"][i]
+            )
+        n += len(tokens)
+    wall = time.time() - t0
+    print(f"inference: {n} samples in {wall:.1f}s ({n / wall:.2f} samples/s)")
+
+    # GT from infos
+    from petr_tpu.configs.config import NUSCENES_CLASSES
+
+    for info in ds.infos:
+        tok = info["token"]
+        boxes = np.asarray(info["gt_boxes"], float).reshape(-1, 7)
+        vel = np.nan_to_num(np.asarray(info.get("gt_velocity", np.zeros((len(boxes), 2))), float))
+        labels = np.asarray(info.get("gt_labels"), int)
+        attrs = info.get("gt_attrs", [""] * len(boxes))
+        npts = info.get("num_lidar_pts", [10] * len(boxes))
+        gts[tok] = [
+            DetectionBox(
+                sample_token=tok,
+                center=np.array([b[0], b[1], b[2] + b[5] / 2]),
+                size=b[3:6],
+                yaw=float(b[6]),
+                velocity=vel[i],
+                name=NUSCENES_CLASSES[labels[i]],
+                attr=attrs[i] if i < len(attrs) else "",
+                num_pts=int(npts[i]) if i < len(npts) else 10,
+            )
+            for i, b in enumerate(boxes)
+        ]
+
+    results = evaluate_detections(gts, preds)
+    for k, v in sorted(results.items()):
+        print(f"{k}: {v:.4f}")
+
+    if args.out:
+        sub = {
+            "meta": {"use_camera": True, "use_lidar": False, "use_radar": False,
+                     "use_map": False, "use_external": False},
+            "results": {
+                tok: [
+                    {
+                        "sample_token": d.sample_token,
+                        "translation": list(map(float, d.center)),
+                        "size": list(map(float, d.size)),
+                        "rotation": [float(np.cos(d.yaw / 2)), 0.0, 0.0, float(np.sin(d.yaw / 2))],
+                        "velocity": list(map(float, d.velocity)),
+                        "detection_name": d.name,
+                        "detection_score": d.score,
+                        "attribute_name": d.attr,
+                    }
+                    for d in boxes
+                ]
+                for tok, boxes in preds.items()
+            },
+        }
+        with open(args.out, "w") as f:
+            json.dump(sub, f)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Training CLI.
+
+    python -m petr_tpu.cli.train --config petr_vov_p4_800x320 \
+        --infos data/nuscenes_infos_train.pkl --data-root data/nuscenes \
+        --work-dir work_dirs/petr_vov
+
+Covers the reference `tools/train.py` capability: config selection, seeding,
+epoch loop with the reference schedule, periodic JSON logging, checkpointing
+with rotation, resume, and pretrained-backbone partial init. Multi-device:
+shards the batch over the data axis of a (data, model) mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--infos", required=True, help="train info .pkl")
+    p.add_argument("--data-root", default="")
+    p.add_argument("--work-dir", default="work_dirs/default")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None, help="global batch size")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--load-from", default=None, help="params-only checkpoint")
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--max-steps", type=int, default=None, help="debug cap")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from petr_tpu.configs import get_config
+    from petr_tpu.data import Loader, NuScenesDataset
+    from petr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from petr_tpu.train import create_train_state, make_train_step
+    from petr_tpu.train.checkpoint import (
+        latest_checkpoint,
+        load_params,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg = get_config(args.config)
+    epochs = args.epochs or cfg.train.optim.epochs
+
+    ds = NuScenesDataset.from_pkl(
+        args.infos, cfg.data, training=True, data_root=args.data_root
+    )
+    n_dev = len(jax.devices())
+    batch_size = args.batch_size or cfg.train.optim.batch_size_per_device * n_dev
+    loader = Loader(ds, batch_size, seed=args.seed)
+    steps_per_epoch = len(loader)
+    total_steps = steps_per_epoch * epochs
+
+    mesh = make_mesh()
+    sample = next(iter(loader.epoch(0)))
+    sample = {k: jnp.asarray(v) for k, v in sample.items() if k != "tokens"}
+    state = create_train_state(cfg, jax.random.PRNGKey(args.seed), total_steps, sample)
+
+    if args.load_from:
+        state = state.replace(params=load_params(args.load_from, state.params))
+    ckpt_base = os.path.join(args.work_dir, "ckpts")
+    if args.resume:
+        latest = latest_checkpoint(ckpt_base)
+        if latest:
+            state = restore_checkpoint(latest, state)
+            print(f"resumed from {latest} at step {int(state.step)}")
+
+    os.makedirs(args.work_dir, exist_ok=True)
+    logf = open(os.path.join(args.work_dir, "train_log.jsonl"), "a")
+
+    train_step = make_train_step(cfg)
+    rng = jax.random.PRNGKey(args.seed + 1)
+
+    with jax.set_mesh(mesh):
+        state = replicate(state, mesh)
+        step_fn = jax.jit(train_step, donate_argnums=(0,))
+
+        start_epoch = int(state.step) // max(steps_per_epoch, 1)
+        t_last = time.time()
+        for epoch in range(start_epoch, epochs):
+            for batch in loader.epoch(epoch):
+                batch.pop("tokens", None)
+                batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+                state, metrics = step_fn(state, batch, rng)
+                step = int(state.step)
+                if step % args.log_every == 0:
+                    metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    dt = time.time() - t_last
+                    t_last = time.time()
+                    rec = {
+                        "epoch": epoch,
+                        "step": step,
+                        "time_per_iter": dt / max(args.log_every, 1),
+                        **metrics,
+                    }
+                    print(json.dumps({k: round(v, 4) if isinstance(v, float) else v for k, v in rec.items()}))
+                    logf.write(json.dumps(rec) + "\n")
+                    logf.flush()
+                if args.max_steps and step >= args.max_steps:
+                    save_checkpoint(ckpt_base, step, jax.device_get(state), cfg.train.max_keep_ckpts)
+                    return
+            save_checkpoint(ckpt_base, int(state.step), jax.device_get(state), cfg.train.max_keep_ckpts)
+            print(f"epoch {epoch} done; checkpoint saved")
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,7 @@ class BackboneConfig:
 
 @dataclasses.dataclass(frozen=True)
 class HeadConfig:
+    kind: str = "petr"  # 'petr' | 'petrv2' | 'depthr'
     num_classes: int = 10
     num_query: int = 900
     embed_dim: int = 256
@@ -62,6 +63,8 @@ class ModelConfig:
     # which FPN level feeds the head (reference position_level, petr_head.py:183)
     head_feat_level: int = 0
     compute_dtype: str = "bfloat16"
+    # Pallas online-softmax decoder cross-attention (inference path)
+    use_flash_attention: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -183,6 +186,7 @@ _register(ExperimentConfig(
     model=ModelConfig(
         backbone=BackboneConfig(),
         head=HeadConfig(
+            kind="petrv2",
             with_fpe=True, with_time=True, with_multi_reg=True,
             shared_branches=False,
         ),
@@ -190,6 +194,34 @@ _register(ExperimentConfig(
     data=DataConfig(num_frames=2),
     # v2 uses code_weights all-1.0 (petrv2_vovnet_gridmask_p4_800x320.py:49-53)
     train=TrainConfig(optim=OptimConfig(code_weights=(1.0,) * 10)),
+))
+
+
+# tiny smoke-test preset (CPU-runnable end-to-end; not a reference config)
+_register(ExperimentConfig(
+    name="tiny_debug",
+    model=ModelConfig(
+        backbone=BackboneConfig(kind="vovnet", spec="V-39-eSE", out_indices=(2, 3)),
+        head=HeadConfig(num_query=32, embed_dim=64, num_layers=2, num_heads=4,
+                        ffn_dim=128, depth_num=8),
+        use_grid_mask=False,
+        compute_dtype="float32",
+    ),
+    data=DataConfig(image_size=(32, 80), final_dim=(32, 80), max_gt=16),
+    train=TrainConfig(optim=OptimConfig(warmup_iters=2)),
+))
+
+_register(ExperimentConfig(
+    name="depthr_r50_c5_512x1408_gtdepth",
+    model=ModelConfig(
+        backbone=_r50((3,)),
+        head=HeadConfig(kind="depthr"),
+    ),
+    data=DataConfig(
+        image_size=(512, 1408),
+        mean=(103.530, 116.280, 123.675), std=(1.0, 1.0, 1.0),
+        resize_lim=(0.8, 1.0), final_dim=(512, 1408),
+    ),
 ))
 
 

@@ -214,7 +214,7 @@ class NuScenesDataset:
 
 
 def collate_batch(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
-    keys = [k for k in samples[0] if k not in ("token", "lidar2img")]
+    keys = [k for k in samples[0] if k != "token"]
     out = {k: np.stack([s[k] for s in samples]) for k in keys}
     out["tokens"] = [s["token"] for s in samples]
     return out

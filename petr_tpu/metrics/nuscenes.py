@@ -1,0 +1,288 @@
+"""Self-contained nuScenes detection metrics (mAP / TP-errors / NDS).
+
+The reference delegates evaluation to the nuscenes-devkit
+(`CustomNuScenesDataset.evaluate` -> devkit). This module re-implements the
+official algorithm (center-distance matching at {0.5, 1, 2, 4} m, 101-point
+interpolated AP with min recall/precision 0.1, cumulative-mean TP errors at
+2 m, NDS = (5*mAP + sum(1 - min(1, err))) / 10) so the engine evaluates
+without the devkit. Distances/errors are computed in the lidar frame, which
+is equivalent to the devkit's global frame for all the metrics used
+(rigid-transform invariant).
+
+Inputs are plain per-sample lists of DetectionBox, so this evaluates both our
+model outputs and imported reference results identically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import defaultdict
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from petr_tpu.configs.config import NUSCENES_CLASSES
+
+DIST_THRESHOLDS = (0.5, 1.0, 2.0, 4.0)
+TP_DIST = 2.0
+MIN_RECALL = 0.1
+MIN_PRECISION = 0.1
+N_INTERP = 101
+
+# official per-class eval range (meters from ego)
+CLS_RANGE = {
+    "car": 50.0, "truck": 50.0, "bus": 50.0, "trailer": 50.0,
+    "construction_vehicle": 50.0, "pedestrian": 40.0, "motorcycle": 40.0,
+    "bicycle": 40.0, "traffic_cone": 30.0, "barrier": 30.0,
+}
+# classes where a TP metric is undefined (official devkit)
+NO_VELOCITY = {"barrier", "traffic_cone"}
+NO_ORIENT = {"traffic_cone"}
+NO_ATTR = {"barrier", "traffic_cone"}
+PERIOD_PI = {"barrier"}
+
+
+@dataclasses.dataclass
+class DetectionBox:
+    sample_token: str
+    center: np.ndarray  # (3,) gravity center, lidar frame
+    size: np.ndarray  # (3,) w, l, h
+    yaw: float
+    velocity: np.ndarray  # (2,)
+    name: str
+    score: float = -1.0
+    attr: str = ""
+    num_pts: int = -1  # GT only; -1 = unknown
+
+
+def _center_dist(a: DetectionBox, b: DetectionBox) -> float:
+    return float(np.hypot(a.center[0] - b.center[0], a.center[1] - b.center[1]))
+
+
+def _scale_err(a: DetectionBox, b: DetectionBox) -> float:
+    """1 - IoU of center/yaw-aligned boxes (pure size IoU)."""
+    mins = np.minimum(a.size, b.size)
+    inter = float(np.prod(mins))
+    union = float(np.prod(a.size) + np.prod(b.size) - inter)
+    return 1.0 - inter / max(union, 1e-9)
+
+
+def _yaw_err(a: DetectionBox, b: DetectionBox, period: float) -> float:
+    d = (a.yaw - b.yaw) % period
+    if d > period / 2:
+        d = period - d
+    return abs(d)
+
+
+def _vel_err(a: DetectionBox, b: DetectionBox) -> float:
+    return float(np.linalg.norm(np.asarray(a.velocity) - np.asarray(b.velocity)))
+
+
+def _cummean(x: np.ndarray) -> np.ndarray:
+    if len(x) == 0:
+        return x
+    # official: ignore NaNs (attribute errors on unlabeled GTs)
+    sum_vals = np.nancumsum(x.astype(float))
+    count_vals = np.cumsum(~np.isnan(x.astype(float)))
+    return np.divide(sum_vals, count_vals, out=np.zeros_like(sum_vals), where=count_vals > 0)
+
+
+def _filter(boxes: Sequence[DetectionBox], is_gt: bool) -> List[DetectionBox]:
+    out = []
+    for b in boxes:
+        if b.name not in CLS_RANGE:
+            continue
+        if float(np.hypot(b.center[0], b.center[1])) > CLS_RANGE[b.name]:
+            continue
+        if is_gt and b.num_pts == 0:
+            continue
+        out.append(b)
+    return out
+
+
+def _accumulate(
+    gts: Dict[str, List[DetectionBox]],
+    preds: Dict[str, List[DetectionBox]],
+    cls: str,
+    dist_th: float,
+):
+    """Official `accumulate`: returns interpolated precision + TP-error
+    curves on the 101-point recall grid, or None when no GT."""
+    cls_gts = {tok: [g for g in boxes if g.name == cls] for tok, boxes in gts.items()}
+    npos = sum(len(v) for v in cls_gts.values())
+    if npos == 0:
+        return None
+
+    cls_preds = [p for boxes in preds.values() for p in boxes if p.name == cls]
+    cls_preds.sort(key=lambda p: -p.score)
+
+    tp, fp, conf = [], [], []
+    match_data = defaultdict(list)
+    taken = set()
+    for p in cls_preds:
+        best_gt, best_d = None, dist_th
+        for gi, g in enumerate(cls_gts.get(p.sample_token, [])):
+            if (p.sample_token, gi) in taken:
+                continue
+            d = _center_dist(p, g)
+            if d < best_d:
+                best_d, best_gt = d, gi
+        if best_gt is not None:
+            taken.add((p.sample_token, best_gt))
+            tp.append(1)
+            fp.append(0)
+            conf.append(p.score)
+            g = cls_gts[p.sample_token][best_gt]
+            match_data["trans_err"].append(best_d)
+            match_data["scale_err"].append(_scale_err(p, g))
+            match_data["orient_err"].append(
+                _yaw_err(p, g, np.pi if cls in PERIOD_PI else 2 * np.pi)
+            )
+            match_data["vel_err"].append(_vel_err(p, g))
+            match_data["attr_err"].append(
+                np.nan if not g.attr else float(p.attr != g.attr)
+            )
+            match_data["conf"].append(p.score)
+        else:
+            tp.append(0)
+            fp.append(1)
+            conf.append(p.score)
+
+    if len(match_data["conf"]) == 0:
+        # no matches at all: AP 0, TP errors undefined -> worst (1.0)
+        return {
+            "precision": np.zeros(N_INTERP),
+            "recall_max": 0.0,
+            **{k: np.ones(N_INTERP) for k in ("trans_err", "scale_err", "orient_err", "vel_err", "attr_err")},
+        }
+
+    tp_c = np.cumsum(tp).astype(float)
+    fp_c = np.cumsum(fp).astype(float)
+    prec = tp_c / (tp_c + fp_c)
+    rec = tp_c / npos
+
+    rec_interp = np.linspace(0, 1, N_INTERP)
+    prec_i = np.interp(rec_interp, rec, prec, right=0)
+    conf_i = np.interp(rec_interp, rec, conf, right=0)
+
+    out = {"precision": prec_i, "recall_max": float(rec[-1])}
+    for key in ("trans_err", "scale_err", "orient_err", "vel_err", "attr_err"):
+        vals = _cummean(np.asarray(match_data[key], float))
+        mconf = np.asarray(match_data["conf"], float)
+        # interpolate cumulative means onto the recall grid via confidence
+        out[key] = np.interp(conf_i[::-1], mconf[::-1], vals[::-1])[::-1]
+    return out
+
+
+def _calc_ap(md) -> float:
+    prec = md["precision"].copy()
+    prec = prec[round(100 * MIN_RECALL) + 1 :]
+    prec -= MIN_PRECISION
+    prec[prec < 0] = 0
+    return float(np.mean(prec)) / (1.0 - MIN_PRECISION)
+
+
+def _calc_tp(md, name: str) -> float:
+    first = round(100 * MIN_RECALL) + 1
+    last = int(round(100 * md["recall_max"]))  # max achieved recall index
+    if last < first:
+        return 1.0
+    return float(np.mean(md[name][first : last + 1]))
+
+
+def evaluate_detections(
+    gts: Dict[str, List[DetectionBox]],
+    preds: Dict[str, List[DetectionBox]],
+    classes: Sequence[str] = NUSCENES_CLASSES,
+) -> Dict[str, float]:
+    """Full nuScenes detection evaluation.
+
+    Args:
+        gts/preds: sample_token -> boxes.
+    Returns:
+        dict with mAP, NDS, per-class AP, and the five mean TP errors.
+    """
+    gts = {tok: _filter(v, is_gt=True) for tok, v in gts.items()}
+    preds = {tok: _filter(v, is_gt=False)[:500] for tok, v in preds.items()}
+
+    ap: Dict[str, Dict[float, float]] = defaultdict(dict)
+    tp_err: Dict[str, Dict[str, float]] = defaultdict(dict)
+    for cls in classes:
+        for dist_th in DIST_THRESHOLDS:
+            md = _accumulate(gts, preds, cls, dist_th)
+            if md is None:
+                continue
+            ap[cls][dist_th] = _calc_ap(md)
+            if dist_th == TP_DIST:
+                for name in ("trans_err", "scale_err", "orient_err", "vel_err", "attr_err"):
+                    if name == "vel_err" and cls in NO_VELOCITY:
+                        continue
+                    if name == "orient_err" and cls in NO_ORIENT:
+                        continue
+                    if name == "attr_err" and cls in NO_ATTR:
+                        continue
+                    tp_err[name][cls] = _calc_tp(md, name)
+
+    results: Dict[str, float] = {}
+    class_aps = {c: float(np.mean(list(v.values()))) for c, v in ap.items() if v}
+    m_ap = float(np.mean(list(class_aps.values()))) if class_aps else 0.0
+    results["mAP"] = m_ap
+    for c, v in class_aps.items():
+        results[f"AP_{c}"] = v
+
+    tp_means = {}
+    short = {
+        "trans_err": "mATE", "scale_err": "mASE", "orient_err": "mAOE",
+        "vel_err": "mAVE", "attr_err": "mAAE",
+    }
+    for name in ("trans_err", "scale_err", "orient_err", "vel_err", "attr_err"):
+        vals = list(tp_err[name].values())
+        tp_means[name] = float(np.mean(vals)) if vals else 1.0
+        results[short[name]] = tp_means[name]
+
+    nds = (5 * m_ap + sum(1 - min(1.0, v) for v in tp_means.values())) / 10.0
+    results["NDS"] = float(nds)
+    return results
+
+
+def boxes_from_arrays(
+    sample_token: str,
+    boxes: np.ndarray,  # (K, 9) gravity-center
+    scores: np.ndarray,
+    labels: np.ndarray,
+    valid: np.ndarray,
+    classes: Sequence[str] = NUSCENES_CLASSES,
+) -> List[DetectionBox]:
+    """Model outputs -> DetectionBoxes with the standard attribute heuristic
+    (mmdet3d submission convention)."""
+    out = []
+    default_attr = {
+        "car": "vehicle.parked", "truck": "vehicle.parked", "bus": "vehicle.moving",
+        "trailer": "vehicle.parked", "construction_vehicle": "vehicle.parked",
+        "pedestrian": "pedestrian.moving", "motorcycle": "cycle.without_rider",
+        "bicycle": "cycle.without_rider", "barrier": "", "traffic_cone": "",
+    }
+    for k in range(len(boxes)):
+        if not valid[k]:
+            continue
+        name = classes[int(labels[k])]
+        speed = float(np.hypot(boxes[k, 7], boxes[k, 8]))
+        if speed > 0.2 and name in ("car", "construction_vehicle", "bus", "truck", "trailer"):
+            attr = "vehicle.moving"
+        elif speed > 0.2 and name in ("bicycle", "motorcycle"):
+            attr = "cycle.with_rider"
+        else:
+            attr = default_attr[name]
+        out.append(
+            DetectionBox(
+                sample_token=sample_token,
+                center=boxes[k, :3].astype(float),
+                size=boxes[k, 3:6].astype(float),
+                yaw=float(boxes[k, 6]),
+                velocity=boxes[k, 7:9].astype(float),
+                name=name,
+                score=float(scores[k]),
+                attr=attr,
+            )
+        )
+    return out

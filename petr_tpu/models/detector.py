@@ -38,6 +38,10 @@ class PETRDetector(nn.Module):
         *,
         timestamp: Optional[jax.Array] = None,  # (B, N) for v2 with_time
         grid_mask_rng: Optional[jax.Array] = None,
+        # Depthr oracle inputs (GT depth maps built in-model)
+        gt_boxes: Optional[jax.Array] = None,
+        gt_valid: Optional[jax.Array] = None,
+        lidar2img: Optional[jax.Array] = None,
     ) -> Dict[str, jax.Array]:
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
@@ -99,14 +103,26 @@ class PETRDetector(nn.Module):
             dropout_rate=hcfg.dropout_rate,
             shared_branches=hcfg.shared_branches,
             deterministic=self.deterministic,
+            use_flash=cfg.use_flash_attention,
             dtype=dtype,
             name="head",
         )
-        if hcfg.with_fpe or hcfg.with_time or hcfg.with_multi_reg:
+        kind = getattr(hcfg, "kind", "petr")
+        if kind == "petrv2" or hcfg.with_fpe or hcfg.with_time or hcfg.with_multi_reg:
             return PETRv2Head(
                 with_fpe=hcfg.with_fpe,
                 with_time=hcfg.with_time,
                 with_multi_reg=hcfg.with_multi_reg,
                 **head_kwargs,
             )(f, img2lidar, img_hw, (H, W), timestamp=timestamp)
+        if kind == "depthr":
+            from petr_tpu.models.depthr_head import DepthrHead
+
+            assert gt_boxes is not None and lidar2img is not None, (
+                "Depthr (GT-depth oracle) needs gt_boxes/gt_valid/lidar2img"
+            )
+            return DepthrHead(**head_kwargs)(
+                f, img2lidar, img_hw, (H, W),
+                gt_boxes=gt_boxes, gt_valid=gt_valid, lidar2img=lidar2img,
+            )
         return PETRHead(**head_kwargs)(f, img2lidar, img_hw, (H, W))

@@ -1,0 +1,219 @@
+"""DETR3D paradigm: projective point-sampling decoder (baseline family).
+
+Behavioral reference: `models/utils/detr3d_transformer.py` +
+`models/dense_heads/detr3d_head.py` (sty61010/PETR):
+  * queries carry a 512-d embedding split into (query_pos, query); 3D
+    reference points are predicted from query_pos by a Linear + sigmoid
+    (`detr3d_transformer.py:130-131`).
+  * Detr3DCrossAtten (`:226-386`): each query's reference point is
+    denormalized into pc_range, projected into every camera with lidar2img,
+    and one bilinear sample per (camera, level) is gathered; samples are
+    combined with sigmoid attention weights predicted from the query, then
+    output-projected; a reference-point MLP embedding is added.
+  * iterative box refinement: per layer, xy/z reference offsets from the reg
+    branch, sigmoid-ed and detached (`:198-211`).
+
+TPU-first: sampling is a vectorized bilinear gather (ops/sampling.py) over
+(B, cams, levels) — no per-level python grid_sample loop on dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from petr_tpu.models.layers import FFN, MLP, MultiheadAttention
+from petr_tpu.models.petr_head import ClsBranch, RegBranch
+from petr_tpu.ops.geometry import inverse_sigmoid
+from petr_tpu.ops.sampling import grid_sample_normalized
+
+Dtype = Any
+
+
+def project_reference_points(
+    ref: jax.Array,  # (B, Q, 3) in [0, 1]
+    lidar2img: jax.Array,  # (B, N, 4, 4)
+    pc_range: Sequence[float],
+    img_hw: Tuple[float, float],
+) -> Tuple[jax.Array, jax.Array]:
+    """Project refs into all cameras; returns normalized uv in [-1, 1] and a
+    visibility mask. Mirrors `feature_sampling` (`detr3d_transformer.py:389-430`)."""
+    pc = jnp.asarray(pc_range, jnp.float32)
+    pts = ref * (pc[3:6] - pc[0:3]) + pc[0:3]
+    hom = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], -1)  # (B, Q, 4)
+    cam = jnp.einsum("bnij,bqj->bnqi", lidar2img.astype(jnp.float32), hom)
+    eps = 1e-5
+    depth = cam[..., 2:3]
+    visible = depth[..., 0] > eps
+    uv = cam[..., :2] / jnp.maximum(depth, eps)
+    h, w = img_hw
+    uv = uv / jnp.asarray([w, h], jnp.float32)
+    uv = (uv - 0.5) * 2.0  # (B, N, Q, 2) in [-1, 1]
+    inb = (uv > -1.0).all(-1) & (uv < 1.0).all(-1)
+    return uv, (visible & inb)
+
+
+class Detr3DCrossAtten(nn.Module):
+    embed_dim: int = 256
+    num_points: int = 1
+    pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    dropout_rate: float = 0.1
+    deterministic: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jax.Array,  # (B, Q, C)
+        query_pos: jax.Array,  # (B, Q, C)
+        feats: Sequence[jax.Array],  # per level (B, N, H, W, C)
+        reference_points: jax.Array,  # (B, Q, 3)
+        lidar2img: jax.Array,  # (B, N, 4, 4)
+        img_hw: Tuple[float, float],
+    ) -> jax.Array:
+        B, Q, C = query.shape
+        N = feats[0].shape[1]
+        L = len(feats)
+        q_in = query + query_pos
+
+        weights = nn.Dense(N * L * self.num_points, dtype=self.dtype, name="attention_weights")(
+            q_in
+        )  # (B, Q, N*L*P)
+        weights = jax.nn.sigmoid(weights.astype(jnp.float32)).reshape(B, Q, N, L)
+
+        uv, mask = project_reference_points(reference_points, lidar2img, self.pc_range, img_hw)
+        # sample each level: vmap over (B, N)
+        sampled = []
+        for feat in feats:
+            # feat (B, N, H, W, C); uv (B, N, Q, 2)
+            s = jax.vmap(jax.vmap(grid_sample_normalized))(feat.astype(jnp.float32), uv)
+            sampled.append(s)  # (B, N, Q, C)
+        samp = jnp.stack(sampled, axis=3)  # (B, N, Q, L, C)
+        # weights (B, Q, N, L) -> (B, N, Q, L, 1); mask (B, N, Q) -> (B, N, Q, 1, 1)
+        w = weights.transpose(0, 2, 1, 3)[..., None]
+        w = w * mask[..., None, None].astype(jnp.float32)
+        out = (samp * w).sum(axis=(1, 3))  # (B, Q, C)
+
+        out = nn.Dense(self.embed_dim, dtype=self.dtype, name="output_proj")(
+            out.astype(self.dtype)
+        )
+        out = nn.Dropout(self.dropout_rate, deterministic=self.deterministic, name="drop")(out)
+
+        # reference-point embedding: Linear-LN-ReLU x2 on inverse_sigmoid(ref)
+        pe = inverse_sigmoid(reference_points).astype(self.dtype)
+        for i in range(2):
+            pe = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"pos_fc{i}")(pe)
+            pe = nn.LayerNorm(dtype=self.dtype, name=f"pos_ln{i}")(pe)
+            pe = nn.relu(pe)
+        return out + query + pe
+
+
+class Detr3DDecoderLayer(nn.Module):
+    embed_dim: int = 256
+    num_heads: int = 8
+    ffn_dim: int = 512
+    pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    dropout_rate: float = 0.1
+    deterministic: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, query_pos, feats, reference_points, lidar2img, img_hw):
+        det = self.deterministic
+        drop = lambda name: nn.Dropout(self.dropout_rate, deterministic=det, name=name)
+        q_in = query + query_pos
+        sa = MultiheadAttention(
+            self.embed_dim, self.num_heads, self.dropout_rate, self.dtype, name="self_attn"
+        )(q_in, q_in, query, deterministic=det)
+        query = query + drop("drop_sa")(sa)
+        query = nn.LayerNorm(dtype=self.dtype, name="norm1")(query)
+
+        query = Detr3DCrossAtten(
+            self.embed_dim, 1, tuple(self.pc_range), self.dropout_rate, det, self.dtype,
+            name="cross_attn",
+        )(query, query_pos, feats, reference_points, lidar2img, img_hw)
+        query = nn.LayerNorm(dtype=self.dtype, name="norm2")(query)
+
+        query = query + FFN(self.ffn_dim, self.embed_dim, self.dropout_rate, self.dtype, name="ffn")(
+            query, deterministic=det
+        )
+        query = nn.LayerNorm(dtype=self.dtype, name="norm3")(query)
+        return query
+
+
+class Detr3DHead(nn.Module):
+    """DETR3D head with iterative box refinement."""
+
+    num_classes: int = 10
+    embed_dim: int = 256
+    num_query: int = 900
+    num_layers: int = 6
+    num_heads: int = 8
+    ffn_dim: int = 512
+    num_reg_fcs: int = 2
+    code_size: int = 10
+    pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    dropout_rate: float = 0.1
+    with_box_refine: bool = True
+    deterministic: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: Sequence[jax.Array],  # per level (B, N, H, W, C)
+        lidar2img: jax.Array,  # (B, N, 4, 4)
+        pad_hw: Tuple[int, int],
+    ) -> Dict[str, jax.Array]:
+        B = feats[0].shape[0]
+        C = self.embed_dim
+
+        query_embed = self.param(
+            "query_embedding", nn.initializers.normal(1.0), (self.num_query, 2 * C), jnp.float32
+        )
+        query_pos, query = jnp.split(query_embed.astype(self.dtype), 2, axis=-1)
+        query_pos = jnp.broadcast_to(query_pos[None], (B, self.num_query, C))
+        query = jnp.broadcast_to(query[None], (B, self.num_query, C))
+
+        ref = jax.nn.sigmoid(
+            nn.Dense(3, dtype=jnp.float32, name="reference_points")(query_pos.astype(jnp.float32))
+        )  # (B, Q, 3)
+
+        proj = [
+            nn.Dense(C, dtype=self.dtype, name=f"input_proj{i}")(f.astype(self.dtype))
+            for i, f in enumerate(feats)
+        ]
+
+        cls_list, reg_list = [], []
+        for lvl in range(self.num_layers):
+            query = Detr3DDecoderLayer(
+                C, self.num_heads, self.ffn_dim, tuple(self.pc_range),
+                self.dropout_rate, self.deterministic, self.dtype, name=f"layer{lvl}",
+            )(query, query_pos, proj, jax.lax.stop_gradient(ref), lidar2img, pad_hw)
+
+            suffix = f"_{lvl}" if self.with_box_refine else ""
+            cls_out = ClsBranch(C, self.num_reg_fcs, self.num_classes, self.dtype,
+                                name=f"cls_branch{suffix}")(query)
+            reg_out = RegBranch(C, self.num_reg_fcs, self.code_size, self.dtype,
+                                name=f"reg_branch{suffix}")(query).astype(jnp.float32)
+
+            ref_is = inverse_sigmoid(ref)
+            xy = jax.nn.sigmoid(reg_out[..., 0:2] + ref_is[..., 0:2])
+            z = jax.nn.sigmoid(reg_out[..., 4:5] + ref_is[..., 2:3])
+            reg_dec = jnp.concatenate([xy, reg_out[..., 2:4], z, reg_out[..., 5:]], -1)
+            cls_list.append(cls_out.astype(jnp.float32))
+            reg_list.append(reg_dec)
+            # iterative refinement: next layer's refs from this layer's centers
+            ref = jnp.concatenate([xy, z], axis=-1)
+
+        all_cls = jnp.stack(cls_list)
+        all_reg = jnp.stack(reg_list)
+        pc = jnp.asarray(self.pc_range, jnp.float32)
+        cx = all_reg[..., 0:1] * (pc[3] - pc[0]) + pc[0]
+        cy = all_reg[..., 1:2] * (pc[4] - pc[1]) + pc[1]
+        cz = all_reg[..., 4:5] * (pc[5] - pc[2]) + pc[2]
+        all_reg = jnp.concatenate([cx, cy, all_reg[..., 2:4], cz, all_reg[..., 5:]], -1)
+        return {"cls_logits": all_cls, "bbox_codes": all_reg}

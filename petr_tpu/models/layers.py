@@ -100,6 +100,7 @@ class MultiheadAttention(nn.Module):
     num_heads: int
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
+    use_flash: bool = False  # Pallas online-softmax kernel (no attn dropout)
 
     @nn.compact
     def __call__(
@@ -126,14 +127,26 @@ class MultiheadAttention(nn.Module):
         k = k.reshape(B, L, H, D)
         v = v.reshape(B, L, H, D)
 
-        scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
-        logits = jnp.einsum("bqhd,blhd->bhql", q, k).astype(jnp.float32) * scale
-        if key_padding_mask is not None:
-            neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
-            logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
-        attn = jax.nn.softmax(logits, axis=-1)
-        attn = nn.Dropout(self.dropout_rate, deterministic=deterministic)(attn)
-        out = jnp.einsum("bhql,blhd->bqhd", attn.astype(self.dtype), v)
+        # The Pallas path streams K/V through VMEM (no (Q, L) logits in HBM);
+        # used at inference (attention dropout requires the XLA path).
+        if self.use_flash and deterministic:
+            from petr_tpu.ops.pallas.cross_attention import flash_cross_attention
+
+            out = flash_cross_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                key_padding_mask,
+            ).transpose(0, 2, 1, 3)
+        else:
+            scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+            logits = jnp.einsum("bqhd,blhd->bhql", q, k).astype(jnp.float32) * scale
+            if key_padding_mask is not None:
+                neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+                logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
+            attn = jax.nn.softmax(logits, axis=-1)
+            attn = nn.Dropout(self.dropout_rate, deterministic=deterministic)(attn)
+            out = jnp.einsum("bhql,blhd->bqhd", attn.astype(self.dtype), v)
         out = out.reshape(B, Q, self.embed_dim)
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")(out)
 

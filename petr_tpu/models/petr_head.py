@@ -112,6 +112,7 @@ class PETRHead(nn.Module):
     shared_branches: bool = True
     deterministic: bool = True
     remat: bool = True
+    use_flash: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -175,6 +176,7 @@ class PETRHead(nn.Module):
             self.dropout_rate,
             self.deterministic,
             self.remat,
+            self.use_flash,
             self.dtype,
             name="transformer",
         )(x, masks, query_embed, pos_embed)  # (L, B, Q, C)

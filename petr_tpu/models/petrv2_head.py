@@ -79,6 +79,7 @@ class PETRv2Head(nn.Module):
     shared_branches: bool = False
     deterministic: bool = True
     remat: bool = True
+    use_flash: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -141,6 +142,7 @@ class PETRv2Head(nn.Module):
             self.dropout_rate,
             self.deterministic,
             self.remat,
+            self.use_flash,
             self.dtype,
             name="transformer",
         )(x, masks, query_embed, pos_embed)

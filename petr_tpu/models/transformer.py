@@ -37,6 +37,7 @@ class PETRDecoderLayer(nn.Module):
     ffn_dim: int = 2048
     dropout_rate: float = 0.1
     deterministic: bool = True
+    use_flash: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -61,7 +62,8 @@ class PETRDecoderLayer(nn.Module):
 
         # cross-attention: queries x multi-view tokens
         ca = MultiheadAttention(
-            self.embed_dim, self.num_heads, self.dropout_rate, self.dtype, name="cross_attn"
+            self.embed_dim, self.num_heads, self.dropout_rate, self.dtype,
+            use_flash=self.use_flash, name="cross_attn"
         )(
             query + query_pos,
             memory + key_pos,
@@ -95,6 +97,7 @@ class PETRTransformerDecoder(nn.Module):
     dropout_rate: float = 0.1
     deterministic: bool = True
     remat: bool = True
+    use_flash: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -116,6 +119,7 @@ class PETRTransformerDecoder(nn.Module):
                 self.ffn_dim,
                 self.dropout_rate,
                 self.deterministic,
+                self.use_flash,
                 self.dtype,
                 name=f"layer{i}",
             )(query, memory, query_pos, key_pos, key_padding_mask)
@@ -137,6 +141,7 @@ class PETRTransformer(nn.Module):
     dropout_rate: float = 0.1
     deterministic: bool = True
     remat: bool = True
+    use_flash: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -167,6 +172,7 @@ class PETRTransformer(nn.Module):
             self.dropout_rate,
             self.deterministic,
             self.remat,
+            self.use_flash,
             self.dtype,
             name="decoder",
         )(target, memory, query_pos, key_pos, key_padding_mask)

@@ -55,6 +55,29 @@ def gravity_center_boxes(boxes_bottom: jax.Array) -> jax.Array:
     return jnp.concatenate([boxes_bottom[..., :2], z, boxes_bottom[..., 3:]], axis=-1)
 
 
+def box_corners(boxes: jax.Array) -> jax.Array:
+    """8 corners of gravity-center boxes, (..., 8, 3).
+
+    Convention (mmdet3d 0.17 LiDAR boxes): at yaw=0 dim w spans x and l spans
+    y; yaw rotates about +z. Corner order is the (x, y, z) sign lattice
+    (---, --+, -+-, ..., +++) in box-local frame.
+    """
+    w = boxes[..., 3:4]
+    l = boxes[..., 4:5]
+    h = boxes[..., 5:6]
+    yaw = boxes[..., 6]
+    signs = jnp.asarray(
+        [[sx, sy, sz] for sx in (-0.5, 0.5) for sy in (-0.5, 0.5) for sz in (-0.5, 0.5)],
+        jnp.float32,
+    )  # (8, 3)
+    local = signs[None] * jnp.stack([w, l, h], axis=-1).reshape(*boxes.shape[:-1], 1, 3)
+    c, s = jnp.cos(yaw)[..., None], jnp.sin(yaw)[..., None]
+    x = local[..., 0] * c - local[..., 1] * s
+    y = local[..., 0] * s + local[..., 1] * c
+    rotated = jnp.stack([x, y, local[..., 2]], axis=-1)
+    return rotated + boxes[..., None, :3]
+
+
 def bottom_center_boxes(boxes_gravity: jax.Array) -> jax.Array:
     """Gravity-center-z boxes -> bottom-center-z (z -= h/2), as emitted at
     decode time (`petr_head.py:746`)."""

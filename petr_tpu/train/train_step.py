@@ -51,12 +51,19 @@ def create_train_state(
     cfg: ExperimentConfig, rng: jax.Array, total_steps: int, sample_batch: Dict[str, jax.Array]
 ) -> TrainState:
     model = PETRDetector(cfg.model, deterministic=True)
+    extra = {}
+    if cfg.model.head.kind == "depthr":
+        extra = dict(
+            gt_boxes=sample_batch["gt_boxes"], gt_valid=sample_batch["gt_valid"],
+            lidar2img=sample_batch["lidar2img"],
+        )
     variables = model.init(
         rng,
         sample_batch["images"],
         sample_batch["img2lidar"],
         sample_batch["img_hw"],
         timestamp=sample_batch.get("timestamp"),
+        **extra,
     )
     params = variables["params"]
     tx = build_optimizer(cfg.train.optim, total_steps, params)
@@ -72,6 +79,12 @@ def make_train_step(cfg: ExperimentConfig, axis_name: Optional[str] = None):
         gm_rng, drop_rng = jax.random.split(step_rng)
 
         def loss_fn(params):
+            extra = {}
+            if cfg.model.head.kind == "depthr":
+                extra = dict(
+                    gt_boxes=batch["gt_boxes"], gt_valid=batch["gt_valid"],
+                    lidar2img=batch["lidar2img"],
+                )
             outputs = model.apply(
                 {"params": params},
                 batch["images"],
@@ -80,6 +93,7 @@ def make_train_step(cfg: ExperimentConfig, axis_name: Optional[str] = None):
                 timestamp=batch.get("timestamp"),
                 grid_mask_rng=gm_rng,
                 rngs={"dropout": drop_rng},
+                **extra,
             )
             total, losses = petr_set_loss(
                 outputs,
@@ -110,12 +124,21 @@ def make_eval_step(cfg: ExperimentConfig):
     model = PETRDetector(cfg.model, deterministic=True)
 
     def eval_step(params, batch: Dict[str, jax.Array]):
+        extra = {}
+        if cfg.model.head.kind == "depthr":
+            # GT-depth oracle: the reference passes GT boxes at test time too
+            # (depthr3d.py:306-311)
+            extra = dict(
+                gt_boxes=batch["gt_boxes"], gt_valid=batch["gt_valid"],
+                lidar2img=batch["lidar2img"],
+            )
         outputs = model.apply(
             {"params": params},
             batch["images"],
             batch["img2lidar"],
             batch["img_hw"],
             timestamp=batch.get("timestamp"),
+            **extra,
         )
         # decode the final layer per sample
         decode = jax.vmap(
