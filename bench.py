@@ -40,20 +40,25 @@ def main():
 
     @jax.jit
     def forward(params, images, img2lidar, img_hw):
-        return model.apply({"params": params}, images, img2lidar, img_hw)
+        out = model.apply({"params": params}, images, img2lidar, img_hw)
+        # scalar checksum: under the remote-execution relay,
+        # block_until_ready returns before real completion — only a host
+        # VALUE read reflects true device wall time
+        return out, out["cls_logits"].sum()
 
     def run(i):
         b = batches[i % len(batches)]
-        return forward(params, b["images"], b["img2lidar"], b["img_hw"])
+        _, chk = forward(params, b["images"], b["img2lidar"], b["img_hw"])
+        return float(chk)
 
     # warmup (includes compile)
     for i in range(5):
-        jax.block_until_ready(run(i))
+        run(i)
 
     iters = 30
     t0 = time.perf_counter()
     for i in range(iters):
-        jax.block_until_ready(run(i))
+        run(i)
     dt = time.perf_counter() - t0
 
     fps = iters * B / dt

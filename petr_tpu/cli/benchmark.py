@@ -53,7 +53,9 @@ def main():
         def run(i=0):
             nonlocal state
             state, m = step(state, batches[i % len(batches)], rng)
-            return m
+            # host value read: the remote-execution relay completes lazily —
+            # block_until_ready alone under-counts wall time
+            return float(m["loss"])
 
     else:
         model = PETRDetector(cfg.model, deterministic=True)
@@ -61,23 +63,25 @@ def main():
             jax.random.PRNGKey(0), batch["images"], batch["img2lidar"], batch["img_hw"],
             timestamp=batch.get("timestamp"),
         )
-        fwd = jax.jit(
-            lambda p, b: model.apply(
+        def fwd_fn(p, b):
+            out = model.apply(
                 {"params": p}, b["images"], b["img2lidar"], b["img_hw"],
                 timestamp=b.get("timestamp"),
             )
-        )
+            return out["cls_logits"].sum()
+
+        fwd = jax.jit(fwd_fn)
         params = variables["params"]
 
         def run(i=0):
-            return fwd(params, batches[i % len(batches)])
+            return float(fwd(params, batches[i % len(batches)]))
 
     for i in range(args.warmup):
-        jax.block_until_ready(run(i))
+        run(i)
 
     t0 = time.perf_counter()
     for i in range(args.iters):
-        jax.block_until_ready(run(i))
+        run(i)
     dt = time.perf_counter() - t0
     mode = "train" if args.train else "inference"
     print(

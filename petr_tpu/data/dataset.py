@@ -127,6 +127,56 @@ class NuScenesDataset:
                 cams += [dict(c) for c in cams]
         return cams
 
+    def _full_path(self, path: str) -> str:
+        return path if path.startswith("/") else f"{self.data_root}/{path}"
+
+    def _load_and_transform(self, cams, ida) -> List[np.ndarray]:
+        """Decode + IDA + normalize + pad for all cams.
+
+        Uses the native C++ fused pipeline (native/dataload) when available
+        and the augmentation has no rotation; falls back to PIL.
+        """
+        from petr_tpu.data import native
+
+        paths = [self._full_path(c["data_path"]) for c in cams]
+        use_native = (
+            native.available()
+            and ida.rotate_deg == 0.0
+            and all(p.lower().endswith((".jpg", ".jpeg")) for p in paths)
+        )
+        if use_native:
+            bufs = []
+            for p in paths:
+                with open(p, "rb") as f:
+                    bufs.append(f.read())
+            try:
+                out = native.process_images(
+                    bufs,
+                    resize_wh=ida.resize_dims,
+                    crop=ida.crop,
+                    flip=ida.flip,
+                    out_hw=self.cfg.image_size,
+                    mean=self.cfg.mean,
+                    std=self.cfg.std,
+                    to_bgr=not self.cfg.to_rgb,
+                )
+                return list(out)
+            except RuntimeError:
+                pass  # corrupt image: fall through to PIL for a clear error
+
+        images = []
+        for cam in cams:
+            img = self._load_image(cam["data_path"])
+            img = apply_ida(img, ida)
+            arr = np.asarray(img, np.float32)
+            if arr.ndim == 2:
+                arr = np.stack([arr] * 3, -1)
+            if not self.cfg.to_rgb:
+                arr = arr[..., ::-1]  # RGB -> BGR (caffe convention)
+            arr = normalize_image(arr, self.cfg.mean, self.cfg.std, False)
+            images.append(pad_image(arr, self.cfg.image_size))
+        return images
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         return self.get(idx, seed=idx)
 
@@ -146,17 +196,9 @@ class NuScenesDataset:
             self.training,
         )
 
-        images, l2i_list, ts_list = [], [], []
+        images = self._load_and_transform(cams, ida)
+        l2i_list, ts_list = [], []
         for cam in cams:
-            img = self._load_image(cam["data_path"])
-            img = apply_ida(img, ida)
-            arr = np.asarray(img, np.float32)
-            if arr.ndim == 2:
-                arr = np.stack([arr] * 3, -1)
-            arr = arr[..., ::-1]  # RGB -> BGR (caffe convention)
-            arr = normalize_image(arr, self.cfg.mean, self.cfg.std, self.cfg.to_rgb)
-            images.append(pad_image(arr, self.cfg.image_size))
-
             mats = cam_matrices(cam)
             intr = update_intrinsics_ida(mats["intrinsics"], ida)
             l2i_list.append(compose_lidar2img(intr, mats["extrinsics"]))

@@ -143,6 +143,64 @@ def bev_rotate_scale(
     return l2i.astype(np.float64), out
 
 
+def photometric_distortion(
+    img: np.ndarray,
+    rng: np.random.Generator,
+    brightness_delta: float = 32.0,
+    contrast_range: Tuple[float, float] = (0.5, 1.5),
+    saturation_range: Tuple[float, float] = (0.5, 1.5),
+    hue_delta: float = 18.0,
+) -> np.ndarray:
+    """Photometric distortion per view (PhotoMetricDistortionMultiViewImage,
+    transform_3d.py:684-781): random brightness -> random contrast (before or
+    after color ops) -> saturation -> hue -> random channel swap. Input/output
+    float32 BGR HWC, unnormalized."""
+    img = img.astype(np.float32)
+    if rng.integers(2):
+        img = img + rng.uniform(-brightness_delta, brightness_delta)
+    contrast_first = bool(rng.integers(2))
+    if contrast_first and rng.integers(2):
+        img = img * rng.uniform(*contrast_range)
+    # HSV ops via colorsys-free vectorized conversion
+    def to_hsv(bgr):
+        b, g, r = bgr[..., 0], bgr[..., 1], bgr[..., 2]
+        maxc = np.maximum(np.maximum(r, g), b)
+        minc = np.minimum(np.minimum(r, g), b)
+        v = maxc
+        s = np.where(maxc > 0, (maxc - minc) / np.maximum(maxc, 1e-6), 0)
+        rc = (maxc - r) / np.maximum(maxc - minc, 1e-6)
+        gc = (maxc - g) / np.maximum(maxc - minc, 1e-6)
+        bc = (maxc - b) / np.maximum(maxc - minc, 1e-6)
+        h = np.where(maxc == r, bc - gc, np.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+        h = (h / 6.0) % 1.0
+        return h, s, v
+
+    def to_bgr(h, s, v):
+        i = np.floor(h * 6.0)
+        f = h * 6.0 - i
+        p = v * (1 - s)
+        q = v * (1 - s * f)
+        t = v * (1 - s * (1 - f))
+        i = i.astype(int) % 6
+        r = np.choose(i, [v, q, p, p, t, v])
+        g = np.choose(i, [t, v, v, q, p, p])
+        b = np.choose(i, [p, p, t, v, v, q])
+        return np.stack([b, g, r], -1)
+
+    if rng.integers(2) or rng.integers(2):
+        h, s, v = to_hsv(np.clip(img, 0, 255) / 255.0)
+        if rng.integers(2):
+            s = np.clip(s * rng.uniform(*saturation_range), 0, 1)
+        if rng.integers(2):
+            h = (h + rng.uniform(-hue_delta, hue_delta) / 360.0) % 1.0
+        img = to_bgr(h, s, v) * 255.0
+    if not contrast_first and rng.integers(2):
+        img = img * rng.uniform(*contrast_range)
+    if rng.integers(2):
+        img = img[..., rng.permutation(3)]
+    return img.astype(np.float32)
+
+
 def normalize_image(
     img: np.ndarray,
     mean: Sequence[float],

@@ -1,0 +1,201 @@
+"""Object-DGCNN family: k-NN graph query attention, pillar voxelization, and
+a BEV DETR head (LiDAR-point paradigm; not used by shipped configs but part
+of the reference's capability surface).
+
+Behavioral references (sty61010/PETR):
+  * `models/utils/dgcnn_attn.py:10-96` — DGCNNAttn: pairwise-distance top-K
+    neighbor graph (NOTE: the reference takes the K *largest* distances —
+    reproduced faithfully), edge features cat(neighbor, query) -> 1x1
+    conv+BN+ReLU, max over neighbors; two stacked edge convs summed, residual.
+  * `models/dense_heads/dgcnn3d_head.py` — DETR-style decoder over flattened
+    BEV features; here the deformable attention is a standard masked
+    cross-attention over BEV tokens (TPU-first choice; MXU-friendly dense
+    attention at BEV-token counts beats a gather-based deformable op).
+  * mmdet3d hard voxelization (CUDA) -> pillar scatter re-designed as a
+    static-shape device scatter-mean over a BEV grid.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from petr_tpu.models.layers import FFN, MultiheadAttention
+from petr_tpu.models.petr_head import ClsBranch, RegBranch
+from petr_tpu.ops.geometry import inverse_sigmoid
+
+Dtype = Any
+
+
+def pillar_scatter(
+    points: jax.Array,  # (P, 3+F) xyz + features, padded
+    point_valid: jax.Array,  # (P,)
+    pc_range: Sequence[float],
+    grid_hw: Tuple[int, int],
+) -> jax.Array:
+    """Scatter points into a BEV pillar grid by mean; returns (H, W, 3+F+1)
+    with an occupancy channel. Static shapes: P padded, fixed grid."""
+    H, W = grid_hw
+    pr = jnp.asarray(pc_range, jnp.float32)
+    xy = points[:, :2]
+    gx = ((xy[:, 0] - pr[0]) / (pr[3] - pr[0]) * W).astype(jnp.int32)
+    gy = ((xy[:, 1] - pr[1]) / (pr[4] - pr[1]) * H).astype(jnp.int32)
+    inb = (gx >= 0) & (gx < W) & (gy >= 0) & (gy < H) & point_valid
+    flat = jnp.where(inb, gy * W + gx, H * W)  # dump slot
+    feats = jnp.where(inb[:, None], points, 0.0)
+    summed = jnp.zeros((H * W + 1, points.shape[1]), jnp.float32).at[flat].add(feats)
+    counts = jnp.zeros((H * W + 1,), jnp.float32).at[flat].add(inb.astype(jnp.float32))
+    mean = summed / jnp.maximum(counts[:, None], 1.0)
+    occ = (counts > 0).astype(jnp.float32)[:, None]
+    grid = jnp.concatenate([mean, occ], -1)[: H * W]
+    return grid.reshape(H, W, points.shape[1] + 1)
+
+
+class DGCNNAttn(nn.Module):
+    """k-NN graph 'attention' over queries (edge conv x2, max-pool)."""
+
+    embed_dim: int
+    K: int = 16
+    dropout_rate: float = 0.1
+    deterministic: bool = True
+    dtype: Dtype = jnp.float32
+
+    def _edge_feats(self, q: jax.Array, K: int) -> Tuple[jax.Array, jax.Array]:
+        # q: (B, N, C); affinity by euclidean distance, top-K largest
+        K = min(K, q.shape[1])
+        d2 = jnp.sum((q[:, :, None, :] - q[:, None, :, :]) ** 2, -1)
+        _, topk = jax.lax.top_k(jnp.sqrt(jnp.maximum(d2, 0.0)), K)  # (B, N, K)
+        neigh = jnp.take_along_axis(q[:, None, :, :].repeat(q.shape[1], 1), topk[..., None], 2)
+        center = jnp.broadcast_to(q[:, :, None, :], neigh.shape)
+        return jnp.concatenate([neigh, center], -1)  # (B, N, K, 2C)
+
+    @nn.compact
+    def __call__(self, query: jax.Array, query_pos: Optional[jax.Array] = None) -> jax.Array:
+        # query: (B, N, C)
+        residual = query
+        if query_pos is not None:
+            query = query + query_pos
+
+        def edge_conv(x, name):
+            y = nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype, name=f"{name}_fc")(x)
+            y = nn.LayerNorm(dtype=self.dtype, name=f"{name}_norm")(y)
+            y = nn.relu(y)
+            return y.max(axis=2)  # max over K neighbors
+
+        e1 = edge_conv(self._edge_feats(query, self.K), "conv1")
+        e2 = edge_conv(self._edge_feats(e1, self.K), "conv2")
+        out = e1 + e2
+        out = nn.Dropout(self.dropout_rate, deterministic=self.deterministic, name="drop")(out)
+        return residual + out
+
+
+class DGCNN3DHead(nn.Module):
+    """DETR head over BEV feature tokens with DGCNN query self-attention."""
+
+    num_classes: int = 10
+    embed_dim: int = 256
+    num_query: int = 300
+    num_layers: int = 6
+    num_heads: int = 8
+    ffn_dim: int = 512
+    num_reg_fcs: int = 2
+    code_size: int = 10
+    knn: int = 16
+    pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    dropout_rate: float = 0.1
+    deterministic: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, bev_feats: jax.Array) -> Dict[str, jax.Array]:
+        """bev_feats: (B, H, W, C) BEV feature map."""
+        B, H, W, _ = bev_feats.shape
+        C = self.embed_dim
+        tokens = nn.Dense(C, dtype=self.dtype, name="input_proj")(bev_feats).reshape(B, H * W, C)
+
+        query_embed = self.param(
+            "query_embedding", nn.initializers.normal(1.0), (self.num_query, 2 * C), jnp.float32
+        )
+        query_pos, query = jnp.split(query_embed.astype(self.dtype), 2, -1)
+        query_pos = jnp.broadcast_to(query_pos[None], (B, self.num_query, C))
+        query = jnp.broadcast_to(query[None], (B, self.num_query, C))
+
+        ref = jax.nn.sigmoid(
+            nn.Dense(3, dtype=jnp.float32, name="reference_points")(query_pos.astype(jnp.float32))
+        )
+
+        cls_list, reg_list = [], []
+        for lvl in range(self.num_layers):
+            query = DGCNNAttn(
+                C, self.knn, self.dropout_rate, self.deterministic, self.dtype,
+                name=f"layer{lvl}_dgcnn",
+            )(query, query_pos)
+            query = nn.LayerNorm(dtype=self.dtype, name=f"layer{lvl}_norm1")(query)
+            ca = MultiheadAttention(
+                C, self.num_heads, self.dropout_rate, self.dtype, name=f"layer{lvl}_cross"
+            )(query + query_pos, tokens, tokens, deterministic=self.deterministic)
+            query = nn.LayerNorm(dtype=self.dtype, name=f"layer{lvl}_norm2")(query + ca)
+            query = query + FFN(
+                self.ffn_dim, C, self.dropout_rate, self.dtype, name=f"layer{lvl}_ffn"
+            )(query, deterministic=self.deterministic)
+            query = nn.LayerNorm(dtype=self.dtype, name=f"layer{lvl}_norm3")(query)
+
+            cls_out = ClsBranch(C, self.num_reg_fcs, self.num_classes, self.dtype,
+                                name=f"cls_branch_{lvl}")(query)
+            reg_out = RegBranch(C, self.num_reg_fcs, self.code_size, self.dtype,
+                                name=f"reg_branch_{lvl}")(query).astype(jnp.float32)
+            ref_is = inverse_sigmoid(ref)
+            xy = jax.nn.sigmoid(reg_out[..., 0:2] + ref_is[..., 0:2])
+            z = jax.nn.sigmoid(reg_out[..., 4:5] + ref_is[..., 2:3])
+            reg_dec = jnp.concatenate([xy, reg_out[..., 2:4], z, reg_out[..., 5:]], -1)
+            cls_list.append(cls_out.astype(jnp.float32))
+            reg_list.append(reg_dec)
+            ref = jax.lax.stop_gradient(jnp.concatenate([xy, z], -1))
+
+        all_cls = jnp.stack(cls_list)
+        all_reg = jnp.stack(reg_list)
+        pc = jnp.asarray(self.pc_range, jnp.float32)
+        cx = all_reg[..., 0:1] * (pc[3] - pc[0]) + pc[0]
+        cy = all_reg[..., 1:2] * (pc[4] - pc[1]) + pc[1]
+        cz = all_reg[..., 4:5] * (pc[5] - pc[2]) + pc[2]
+        all_reg = jnp.concatenate([cx, cy, all_reg[..., 2:4], cz, all_reg[..., 5:]], -1)
+        return {"cls_logits": all_cls, "bbox_codes": all_reg}
+
+
+class ObjDGCNN(nn.Module):
+    """Minimal LiDAR detector: pillar scatter -> conv BEV encoder -> head."""
+
+    num_classes: int = 10
+    embed_dim: int = 128
+    grid_hw: Tuple[int, int] = (128, 128)
+    pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    num_query: int = 300
+    num_layers: int = 3
+    deterministic: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points: jax.Array, point_valid: jax.Array) -> Dict[str, jax.Array]:
+        """points: (B, P, 3+F) padded; point_valid: (B, P)."""
+        grid = jax.vmap(lambda p, v: pillar_scatter(p, v, self.pc_range, self.grid_hw))(
+            points, point_valid
+        )  # (B, H, W, C0)
+        x = grid.astype(self.dtype)
+        for i, (ch, stride) in enumerate(((64, 1), (self.embed_dim, 2), (self.embed_dim, 1))):
+            x = nn.Conv(ch, (3, 3), strides=(stride, stride), padding="SAME",
+                        dtype=self.dtype, name=f"enc{i}")(x)
+            x = nn.LayerNorm(dtype=self.dtype, name=f"enc{i}_norm")(x)
+            x = nn.relu(x)
+        return DGCNN3DHead(
+            num_classes=self.num_classes,
+            embed_dim=self.embed_dim,
+            num_query=self.num_query,
+            num_layers=self.num_layers,
+            pc_range=tuple(self.pc_range),
+            deterministic=self.deterministic,
+            dtype=self.dtype,
+            name="head",
+        )(x)

@@ -53,14 +53,41 @@ class PositionEncoder(nn.Module):
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(x)
 
 
+class NormedLinear(nn.Module):
+    """mmdet NormedLinear: cosine-style classifier — normalized weights x
+    normalized(+power) features, temperature-scaled (used when the reference
+    config sets ``normedlinear=True``)."""
+
+    out: int
+    tempearture: float = 20.0  # (sic) mmdet's spelling/defaults
+    power: float = 1.0
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.out), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out,), jnp.float32)
+        w = kernel / (
+            jnp.power(jnp.linalg.norm(kernel, axis=0, keepdims=True), self.power) + self.eps
+        )
+        xf = x.astype(jnp.float32)
+        xn = xf / (jnp.power(jnp.linalg.norm(xf, axis=-1, keepdims=True), self.power) + self.eps)
+        return ((xn * self.tempearture) @ w + bias).astype(self.dtype)
+
+
 class ClsBranch(nn.Module):
     """(Dense+LN+ReLU) x num_reg_fcs + Dense(num_classes); out-bias at the
-    focal prior -log((1-0.01)/0.01)."""
+    focal prior -log((1-0.01)/0.01). ``normed`` swaps the final Dense for a
+    NormedLinear (reference ``normedlinear`` flag)."""
 
     embed_dim: int
     num_reg_fcs: int
     out: int
     dtype: Dtype = jnp.float32
+    normed: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -68,6 +95,8 @@ class ClsBranch(nn.Module):
             x = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"fc{i}")(x)
             x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(x)
             x = nn.relu(x)
+        if self.normed:
+            return NormedLinear(self.out, dtype=self.dtype, name="out")(x)
         return nn.Dense(
             self.out,
             dtype=self.dtype,

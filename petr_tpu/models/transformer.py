@@ -82,6 +82,59 @@ class PETRDecoderLayer(nn.Module):
         return query
 
 
+class PETREncoderLayer(nn.Module):
+    """Post-norm encoder layer (self_attn -> norm -> ffn -> norm); the
+    reference registers an encoder (`petr_transformer.py:370-397`) though no
+    shipped config uses one."""
+
+    embed_dim: int = 256
+    num_heads: int = 8
+    ffn_dim: int = 2048
+    dropout_rate: float = 0.1
+    deterministic: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        tokens: jax.Array,  # (B, L, C)
+        pos: jax.Array,  # (B, L, C)
+        key_padding_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        det = self.deterministic
+        q_in = tokens + pos
+        sa = MultiheadAttention(
+            self.embed_dim, self.num_heads, self.dropout_rate, self.dtype, name="self_attn"
+        )(q_in, q_in, tokens, key_padding_mask=key_padding_mask, deterministic=det)
+        tokens = nn.LayerNorm(dtype=self.dtype, name="norm1")(tokens + sa)
+        ffn_out = FFN(self.ffn_dim, self.embed_dim, self.dropout_rate, self.dtype, name="ffn")(
+            tokens, deterministic=det
+        )
+        tokens = nn.LayerNorm(dtype=self.dtype, name="norm2")(tokens + ffn_out)
+        return tokens
+
+
+class PETRTransformerEncoder(nn.Module):
+    """Stack of encoder layers over flattened tokens."""
+
+    num_layers: int = 3
+    embed_dim: int = 256
+    num_heads: int = 8
+    ffn_dim: int = 2048
+    dropout_rate: float = 0.1
+    deterministic: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens, pos, key_padding_mask=None):
+        for i in range(self.num_layers):
+            tokens = PETREncoderLayer(
+                self.embed_dim, self.num_heads, self.ffn_dim, self.dropout_rate,
+                self.deterministic, self.dtype, name=f"layer{i}",
+            )(tokens, pos, key_padding_mask)
+        return tokens
+
+
 class PETRTransformerDecoder(nn.Module):
     """Stack of decoder layers returning all intermediate outputs.
 

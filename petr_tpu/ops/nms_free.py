@@ -51,3 +51,32 @@ def nms_free_decode(
         centers = boxes[..., :3]
         valid &= (centers >= pcr[:3]).all(-1) & (centers <= pcr[3:]).all(-1)
     return {"boxes": boxes, "scores": scores, "labels": labels, "valid": valid}
+
+
+def nms_free_decode_softmax(
+    cls_logits: jax.Array,
+    bbox_codes: jax.Array,
+    *,
+    max_num: int = 300,
+    num_classes: int = 10,
+    post_center_range: Sequence[float] | None = None,
+    score_threshold: float | None = None,
+) -> Dict[str, jax.Array]:
+    """Softmax-classification variant (NMSFreeClsCoder, nms_free_coder.py:125):
+    per-query softmax over (num_classes + 1) logits with a background class;
+    top-k over the foreground max per query."""
+    probs = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)[..., :num_classes]
+    scores_q = probs.max(-1)
+    labels_q = probs.argmax(-1).astype(jnp.int32)
+    k = min(max_num, scores_q.shape[0])
+    scores, idx = jax.lax.top_k(scores_q, k)
+    labels = labels_q[idx]
+    boxes = decode_bbox(bbox_codes[idx])
+    valid = jnp.ones((k,), jnp.bool_)
+    if score_threshold is not None:
+        valid &= scores > score_threshold
+    if post_center_range is not None:
+        pcr = jnp.asarray(post_center_range, jnp.float32)
+        centers = boxes[..., :3]
+        valid &= (centers >= pcr[:3]).all(-1) & (centers <= pcr[3:]).all(-1)
+    return {"boxes": boxes, "scores": scores, "labels": labels, "valid": valid}

@@ -253,7 +253,29 @@ def _map_head(key: str, val: np.ndarray, put, shared_branches: bool) -> bool:
         put(H + ("input_proj", "kernel" if leaf == "weight" else "bias"), val,
             is_c1=leaf == "weight")
         return True
-    m = re.match(r"(cls|reg)_branches\.(\d+)\.(?:task_heads\.)?(\d+)\.(weight|bias)", key)
+    # PETRv2 RegLayer: shared trunk Sequential(Linear, ReLU, Dropout)*n ->
+    # fc{i}; task heads Sequential(Linear, ReLU, Linear) -> task{g}_fc/_out
+    m = re.match(r"reg_branches\.(\d+)\.reg_branch\.(\d+)\.(weight|bias)", key)
+    if m:
+        lvl, idx, leaf = m.groups()
+        if shared_branches and lvl != "0":
+            return True
+        suffix = "" if shared_branches else f"_{lvl}"
+        fc = f"fc{int(idx) // 3}"  # torch Sequential stride 3 (Linear,ReLU,Drop)
+        put(H + (f"reg_branch{suffix}", fc, "kernel" if leaf == "weight" else "bias"),
+            val, is_lin=leaf == "weight")
+        return True
+    m = re.match(r"reg_branches\.(\d+)\.task_heads\.(\d+)\.(0|2)\.(weight|bias)", key)
+    if m:
+        lvl, g, idx, leaf = m.groups()
+        if shared_branches and lvl != "0":
+            return True
+        suffix = "" if shared_branches else f"_{lvl}"
+        sub = f"task{g}_fc" if idx == "0" else f"task{g}_out"
+        put(H + (f"reg_branch{suffix}", sub, "kernel" if leaf == "weight" else "bias"),
+            val, is_lin=leaf == "weight")
+        return True
+    m = re.match(r"(cls|reg)_branches\.(\d+)\.(\d+)\.(weight|bias)", key)
     if m:
         kind, lvl, idx, leaf = m.groups()
         if shared_branches and lvl != "0":
