@@ -20,6 +20,7 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
@@ -38,30 +39,40 @@ def main():
     )
     params = variables["params"]
 
+    # Timing protocol notes (measured on this setup):
+    #  * block_until_ready resolves BEFORE true completion under the
+    #    remote-execution relay -> must read a host VALUE.
+    #  * one host round trip costs ~28 ms -> chain SCAN_LEN forwards inside
+    #    one jit (data-dependent via a carry perturbation so nothing hoists)
+    #    and amortize the RTT to <2% of the measurement.
+    SCAN_LEN = 20
+
     @jax.jit
-    def forward(params, images, img2lidar, img_hw):
-        out = model.apply({"params": params}, images, img2lidar, img_hw)
-        # scalar checksum: under the remote-execution relay,
-        # block_until_ready returns before real completion — only a host
-        # VALUE read reflects true device wall time
-        return out, out["cls_logits"].sum()
+    def forward_chain(params, images, img2lidar, img_hw):
+        def body(carry, _):
+            out = model.apply(
+                {"params": params}, images + carry * 1e-12, img2lidar, img_hw
+            )
+            return out["cls_logits"].sum().astype(jnp.float32), None
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=SCAN_LEN)
+        return carry
 
     def run(i):
         b = batches[i % len(batches)]
-        _, chk = forward(params, b["images"], b["img2lidar"], b["img_hw"])
-        return float(chk)
+        return float(forward_chain(params, b["images"], b["img2lidar"], b["img_hw"]))
 
     # warmup (includes compile)
-    for i in range(5):
+    for i in range(2):
         run(i)
 
-    iters = 30
+    iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
         run(i)
     dt = time.perf_counter() - t0
 
-    fps = iters * B / dt
+    fps = iters * SCAN_LEN * B / dt
     baseline = 3.0  # samples/s per reference GPU (see module docstring)
     print(
         json.dumps(

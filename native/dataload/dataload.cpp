@@ -78,9 +78,9 @@ inline double bicubic(double x) {
 // the downscale ratio (antialiasing); weights normalized to sum 1.
 struct AxisFilter {
   int ksize;
-  std::vector<int> bounds;     // per output index: start
-  std::vector<int> counts;     // per output index: number of taps
-  std::vector<double> weights; // ksize per output index
+  std::vector<int> bounds;    // per output index: start
+  std::vector<int> counts;    // per output index: number of taps
+  std::vector<float> weights; // ksize per output index
 };
 
 AxisFilter make_filter(int in_size, int out_size) {
@@ -94,21 +94,21 @@ AxisFilter make_filter(int in_size, int out_size) {
   f.ksize = ksize;
   f.bounds.resize(out_size);
   f.counts.resize(out_size);
-  f.weights.assign(size_t(out_size) * ksize, 0.0);
+  f.weights.assign(size_t(out_size) * ksize, 0.0f);
   for (int xx = 0; xx < out_size; ++xx) {
     double center = (xx + 0.5) * scale;
     int xmin = std::max(0, int(center - support + 0.5));
     int xmax = std::min(in_size, int(center + support + 0.5));
-    double* w = &f.weights[size_t(xx) * ksize];
+    float* w = &f.weights[size_t(xx) * ksize];
     double ss = 0.0;
     int n = xmax - xmin;
     for (int x = 0; x < n; ++x) {
       double val = bicubic((x + xmin - center + 0.5) / filterscale);
-      w[x] = val;
+      w[x] = float(val);
       ss += val;
     }
     if (ss != 0.0)
-      for (int x = 0; x < n; ++x) w[x] /= ss;
+      for (int x = 0; x < n; ++x) w[x] = float(w[x] / ss);
     f.bounds[xx] = xmin;
     f.counts[xx] = n;
   }
@@ -143,62 +143,83 @@ int petr_process_image(const ImageJob* job) {
   AxisFilter fx = make_filter(w, job->resize_w);
   AxisFilter fy = make_filter(h, job->resize_h);
 
-  // horizontal pass: (h, resize_w, 3)
+  // horizontal pass restricted to the source rows the cropped vertical
+  // pass will read (crop happens before rotate, so the row window is exact)
+  int ry_lo = std::max(0, job->crop_y);
+  int ry_hi = std::min(job->resize_h, job->crop_y + job->crop_h);
+  int y_lo = h, y_hi = 0;
+  for (int ry = ry_lo; ry < ry_hi; ++ry) {
+    y_lo = std::min(y_lo, fy.bounds[ry]);
+    y_hi = std::max(y_hi, fy.bounds[ry] + fy.counts[ry]);
+  }
+  y_lo = std::max(0, std::min(y_lo, h));
+  y_hi = std::max(y_lo, std::min(y_hi, h));
+
+  // also restrict columns to the crop window's taps
+  int rx_lo = std::max(0, job->crop_x);
+  int rx_hi = std::min(job->resize_w, job->crop_x + job->crop_w);
+
   std::vector<float> tmp(size_t(h) * job->resize_w * 3);
-  for (int y = 0; y < h; ++y) {
+  for (int y = y_lo; y < y_hi; ++y) {
     const uint8_t* src = rgb.data() + size_t(y) * w * 3;
     float* dst = tmp.data() + size_t(y) * job->resize_w * 3;
-    for (int xx = 0; xx < job->resize_w; ++xx) {
-      const double* wgt = &fx.weights[size_t(xx) * fx.ksize];
+    for (int xx = rx_lo; xx < rx_hi; ++xx) {
+      const float* wgt = &fx.weights[size_t(xx) * fx.ksize];
       int x0 = fx.bounds[xx], n = fx.counts[xx];
-      double acc[3] = {0, 0, 0};
-      for (int k = 0; k < n; ++k) {
-        const uint8_t* p = src + size_t(x0 + k) * 3;
-        acc[0] += wgt[k] * p[0];
-        acc[1] += wgt[k] * p[1];
-        acc[2] += wgt[k] * p[2];
+      float acc0 = 0, acc1 = 0, acc2 = 0;
+      const uint8_t* p = src + size_t(x0) * 3;
+      for (int k = 0; k < n; ++k, p += 3) {
+        acc0 += wgt[k] * p[0];
+        acc1 += wgt[k] * p[1];
+        acc2 += wgt[k] * p[2];
       }
-      dst[xx * 3 + 0] = float(acc[0]);
-      dst[xx * 3 + 1] = float(acc[1]);
-      dst[xx * 3 + 2] = float(acc[2]);
+      dst[xx * 3 + 0] = acc0;
+      dst[xx * 3 + 1] = acc1;
+      dst[xx * 3 + 2] = acc2;
     }
   }
 
   // zero output (padding)
   std::memset(job->out, 0, size_t(job->out_h) * job->out_w * 3 * sizeof(float));
 
-  // vertical pass fused with crop/flip/normalize/pad: only the cropped rows
+  // vertical pass fused with crop/flip/normalize/pad: row-major axpy over
+  // the crop window (sequential reads of tmp, vectorizable inner loops)
+  int row_px = rx_hi - rx_lo;
+  std::vector<float> acc_row(std::max(row_px, 0) * 3);
   for (int yy = 0; yy < job->crop_h; ++yy) {
     int out_y = yy;
     if (out_y >= job->out_h) break;
     int ry = yy + job->crop_y;  // row in resized image
-    if (ry < 0 || ry >= job->resize_h) continue;
-    const double* wgt = &fy.weights[size_t(ry) * fy.ksize];
+    if (ry < 0 || ry >= job->resize_h || row_px <= 0) continue;
+    const float* wgt = &fy.weights[size_t(ry) * fy.ksize];
     int y0 = fy.bounds[ry], n = fy.counts[ry];
+    std::fill(acc_row.begin(), acc_row.end(), 0.0f);
+    for (int k = 0; k < n; ++k) {
+      const float wk = wgt[k];
+      const float* src = tmp.data() + (size_t(y0 + k) * job->resize_w + rx_lo) * 3;
+      float* a = acc_row.data();
+      for (int i = 0; i < row_px * 3; ++i) a[i] += wk * src[i];
+    }
     float* dst = job->out + size_t(out_y) * job->out_w * 3;
-    for (int xx = 0; xx < job->crop_w; ++xx) {
-      int rx = xx + job->crop_x;
-      if (rx < 0 || rx >= job->resize_w) continue;
-      double acc[3] = {0, 0, 0};
-      for (int k = 0; k < n; ++k) {
-        const float* p = tmp.data() + (size_t(y0 + k) * job->resize_w + rx) * 3;
-        acc[0] += wgt[k] * p[0];
-        acc[1] += wgt[k] * p[1];
-        acc[2] += wgt[k] * p[2];
-      }
-      // PIL clamps resampled values to [0, 255] per pass
-      for (int c = 0; c < 3; ++c)
-        acc[c] = std::min(255.0, std::max(0.0, acc[c]));
-      int out_x = job->flip ? (job->crop_w - 1 - xx) : xx;
-      if (out_x >= job->out_w) continue;
+    const float m0 = job->mean[0], m1 = job->mean[1], m2 = job->mean[2];
+    const float is0 = 1.0f / job->std[0], is1 = 1.0f / job->std[1],
+                is2 = 1.0f / job->std[2];
+    for (int xx = 0; xx < row_px; ++xx) {
+      float r = std::min(255.0f, std::max(0.0f, acc_row[xx * 3 + 0]));
+      float g = std::min(255.0f, std::max(0.0f, acc_row[xx * 3 + 1]));
+      float b = std::min(255.0f, std::max(0.0f, acc_row[xx * 3 + 2]));
+      int cx = (rx_lo - job->crop_x) + xx;  // x within the crop
+      int out_x = job->flip ? (job->crop_w - 1 - cx) : cx;
+      if (out_x < 0 || out_x >= job->out_w) continue;
       float* q = dst + size_t(out_x) * 3;
       if (job->to_bgr) {
-        q[0] = (float(acc[2]) - job->mean[0]) / job->std[0];
-        q[1] = (float(acc[1]) - job->mean[1]) / job->std[1];
-        q[2] = (float(acc[0]) - job->mean[2]) / job->std[2];
+        q[0] = (b - m0) * is0;
+        q[1] = (g - m1) * is1;
+        q[2] = (r - m2) * is2;
       } else {
-        for (int c = 0; c < 3; ++c)
-          q[c] = (float(acc[c]) - job->mean[c]) / job->std[c];
+        q[0] = (r - m0) * is0;
+        q[1] = (g - m1) * is1;
+        q[2] = (b - m2) * is2;
       }
     }
   }

@@ -38,6 +38,19 @@ def parse_args():
     return p.parse_args()
 
 
+def ckpt_meta(cfg):
+    import dataclasses
+
+    import petr_tpu
+    from petr_tpu.configs.config import NUSCENES_CLASSES
+
+    return {
+        "petr_tpu_version": petr_tpu.__version__,
+        "classes": list(NUSCENES_CLASSES),
+        "config": dataclasses.asdict(cfg),
+    }
+
+
 def main():
     args = parse_args()
     from petr_tpu.configs import get_config
@@ -109,9 +122,11 @@ def main():
                     logf.write(json.dumps(rec) + "\n")
                     logf.flush()
                 if args.max_steps and step >= args.max_steps:
-                    save_checkpoint(ckpt_base, step, jax.device_get(state), cfg.train.max_keep_ckpts)
+                    save_checkpoint(ckpt_base, step, jax.device_get(state),
+                                    cfg.train.max_keep_ckpts, meta=ckpt_meta(cfg))
                     return
-            save_checkpoint(ckpt_base, int(state.step), jax.device_get(state), cfg.train.max_keep_ckpts)
+            save_checkpoint(ckpt_base, int(state.step), jax.device_get(state),
+                            cfg.train.max_keep_ckpts, meta=ckpt_meta(cfg))
             print(f"epoch {epoch} done; checkpoint saved")
 
 

@@ -143,7 +143,7 @@ def build_infos(
             sweeps_cams.append(frame)
 
         # GT in lidar frame
-        boxes, labels, vels, valid = [], [], [], []
+        boxes, labels, vels, valid, attrs, npts = [], [], [], [], [], []
         for ann_token in sample["anns"]:
             ann = nusc.get("sample_annotation", ann_token)
             mapped = NAME_MAPPING.get(ann["category_name"])
@@ -184,6 +184,12 @@ def build_infos(
             vels.append(v3[:2])
             labels.append(NUSCENES_CLASSES.index(mapped))
             valid.append(ann["num_lidar_pts"] + ann["num_radar_pts"] > 0)
+            npts.append(ann["num_lidar_pts"] + ann["num_radar_pts"])
+            # attribute name (for AAE in the NDS evaluation)
+            if ann["attribute_tokens"]:
+                attrs.append(nusc.get("attribute", ann["attribute_tokens"][0])["name"])
+            else:
+                attrs.append("")
 
         info = {
             "token": sample["token"],
@@ -195,6 +201,8 @@ def build_infos(
             "gt_velocity": np.asarray(vels, np.float64).reshape(-1, 2),
             "gt_labels": np.asarray(labels, np.int64),
             "valid_flag": np.asarray(valid, bool),
+            "gt_attrs": attrs,
+            "num_lidar_pts": np.asarray(npts, np.int64),
         }
         (train_infos if name in train_scenes else val_infos).append(info)
 

@@ -18,7 +18,14 @@ def _ckpt_dir(base: str, step: int) -> str:
     return os.path.join(base, f"step_{step:08d}")
 
 
-def save_checkpoint(base: str, step: int, state: Any, max_keep: int = 3) -> str:
+def save_checkpoint(
+    base: str, step: int, state: Any, max_keep: int = 3, meta: Optional[dict] = None
+) -> str:
+    """Save state; ``meta`` (config json, class names, version — the
+    reference embeds the same, `tools/train.py:233-243`) is written alongside
+    as meta.json."""
+    import json
+
     import orbax.checkpoint as ocp
 
     os.makedirs(base, exist_ok=True)
@@ -29,6 +36,9 @@ def save_checkpoint(base: str, step: int, state: Any, max_keep: int = 3) -> str:
             {"params": state.params, "opt_state": state.opt_state, "step": state.step},
             force=True,
         )
+    if meta is not None:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
     # rotate
     kept = sorted(d for d in os.listdir(base) if d.startswith("step_"))
     for d in kept[:-max_keep]:

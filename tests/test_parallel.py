@@ -1,0 +1,58 @@
+"""Mesh construction, distributed helpers, pod-mesh layout (CPU devices)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from petr_tpu.parallel.distributed import init_distributed, make_pod_mesh
+from petr_tpu.parallel.mesh import constrain, make_mesh, shard_batch
+
+
+def test_make_mesh_factorizations():
+    m = make_mesh(8)
+    assert m.devices.shape == (2, 4)
+    assert m.axis_names == ("data", "model")
+    m2 = make_mesh(8, data=4)
+    assert m2.devices.shape == (4, 2)
+    m3 = make_mesh(1)
+    assert m3.devices.shape == (1, 1)
+
+
+def test_constrain_noop_outside_mesh():
+    x = jnp.ones((4, 8))
+    y = constrain(x, ("data", None))
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_constrain_inside_mesh():
+    mesh = make_mesh(8)
+
+    @jax.jit
+    def f(x):
+        return constrain(x, ("data", "model", None)) * 2
+
+    with jax.set_mesh(mesh):
+        x = jnp.ones((2, 8, 4))
+        y = f(x)
+    np.testing.assert_allclose(np.asarray(y), 2.0)
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh(8)
+    batch = {"a": jnp.arange(16.0).reshape(2, 8), "b": jnp.zeros((2, 3, 4))}
+    out = shard_batch(batch, mesh)
+    for v in out.values():
+        assert v.sharding.is_equivalent_to(
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")), v.ndim
+        )
+
+
+def test_init_distributed_single_process_noop():
+    init_distributed()  # must not raise without coordinator env
+
+
+def test_pod_mesh_local_model_axis():
+    mesh = make_pod_mesh(model_parallel=4)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("data", "model")
