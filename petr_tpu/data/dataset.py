@@ -80,13 +80,20 @@ class NuScenesDataset:
         data_root: str = "",
         src_hw=(900, 1600),
         sweep_range=(3, 27),
+        view_transform=None,
     ):
+        """``view_transform``: optional callable(img_f32_bgr, rng) applied per
+        view before normalization — the AlbuMultiview3D /
+        PhotoMetricDistortion extension point (e.g.
+        ``transforms.photometric_distortion``). Using it disables the native
+        fused path for those samples."""
         self.infos = list(infos)
         self.cfg = cfg
         self.training = training
         self.data_root = data_root
         self.src_hw = src_hw
         self.sweep_range = sweep_range
+        self.view_transform = view_transform
 
     @classmethod
     def from_pkl(cls, path: str, cfg: DataConfig, **kw) -> "NuScenesDataset":
@@ -142,6 +149,7 @@ class NuScenesDataset:
         use_native = (
             native.available()
             and ida.rotate_deg == 0.0
+            and self.view_transform is None
             and all(p.lower().endswith((".jpg", ".jpeg")) for p in paths)
         )
         if use_native:
@@ -165,6 +173,7 @@ class NuScenesDataset:
                 pass  # corrupt image: fall through to PIL for a clear error
 
         images = []
+        rng = np.random.default_rng(abs(hash(paths[0])) % (2**32))
         for cam in cams:
             img = self._load_image(cam["data_path"])
             img = apply_ida(img, ida)
@@ -173,6 +182,8 @@ class NuScenesDataset:
                 arr = np.stack([arr] * 3, -1)
             if not self.cfg.to_rgb:
                 arr = arr[..., ::-1]  # RGB -> BGR (caffe convention)
+            if self.view_transform is not None and self.training:
+                arr = self.view_transform(arr, rng)
             arr = normalize_image(arr, self.cfg.mean, self.cfg.std, False)
             images.append(pad_image(arr, self.cfg.image_size))
         return images

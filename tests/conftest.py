@@ -14,4 +14,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The env var alone is too late when sitecustomize already pulled jax in at
+# interpreter start (axon TPU claim); force the platform at config level too.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 jax.config.update("jax_default_matmul_precision", "highest")
