@@ -127,9 +127,11 @@ class MultiheadAttention(nn.Module):
         k = k.reshape(B, L, H, D)
         v = v.reshape(B, L, H, D)
 
-        # The Pallas path streams K/V through VMEM (no (Q, L) logits in HBM);
-        # used at inference (attention dropout requires the XLA path).
-        if self.use_flash and deterministic:
+        # The Pallas path streams K/V through VMEM (no (Q, L) logits in HBM)
+        # and has a custom flash VJP, so it serves training too — except when
+        # attention-prob dropout is active (reference recipe trains with 0.1),
+        # which requires the XLA path.
+        if self.use_flash and (deterministic or self.dropout_rate == 0.0):
             from petr_tpu.ops.pallas.cross_attention import flash_cross_attention
 
             out = flash_cross_attention(

@@ -104,19 +104,29 @@ def petr_set_loss(
     total = 0.0
     for lvl in range(L):
         n_pos = num_pos[lvl].sum()
-        cls_avg = n_pos
-        if sync_cls_avg_factor and axis_name is not None:
-            cls_avg = jax.lax.pmean(cls_avg, axis_name)
-        cls_avg = jnp.maximum(cls_avg, 1.0)
-        loss_cls = (
-            sigmoid_focal_loss(
-                all_cls[lvl].reshape(B * Q, -1),
-                labels[lvl].reshape(B * Q),
-                num_classes=num_classes,
-                avg_factor=cls_avg,
+        if sync_cls_avg_factor:
+            # one global normalizer (the reference's reduce_mean'd variant)
+            cls_avg = jnp.maximum(n_pos, 1.0)
+            loss_cls = (
+                sigmoid_focal_loss(
+                    all_cls[lvl].reshape(B * Q, -1),
+                    labels[lvl].reshape(B * Q),
+                    num_classes=num_classes,
+                    avg_factor=cls_avg,
+                )
+                * cls_weight
             )
-            * cls_weight
-        )
+        else:
+            # reference default: each DDP rank (1 sample/GPU) normalizes by
+            # its OWN positive count before gradient averaging — reproduce as
+            # a per-sample normalized mean so the global-batch formulation
+            # matches the 8-GPU recipe exactly
+            per_sample = jax.vmap(
+                lambda cl, lb, np_: sigmoid_focal_loss(
+                    cl, lb, num_classes=num_classes, avg_factor=jnp.maximum(np_, 1.0)
+                )
+            )(all_cls[lvl], labels[lvl], num_pos[lvl])
+            loss_cls = per_sample.mean() * cls_weight
 
         n_pos_mean = n_pos
         if axis_name is not None:

@@ -66,3 +66,42 @@ def test_bf16_inputs():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(want), atol=0.05, rtol=0.05
     )
+
+
+def test_custom_vjp_grads_match_naive():
+    """Backward kernel vs jax autodiff of dense attention."""
+    B, H, Q, D, L = 1, 2, 130, 32, 520
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, Q, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, L, D))
+    mask = jax.random.bernoulli(jax.random.PRNGKey(3), 0.3, (B, L))
+    tangent = jax.random.normal(jax.random.PRNGKey(4), (B, H, Q, D))
+
+    def loss_flash(q, k, v):
+        out = flash_cross_attention(q, k, v, mask, 128, 256, True)
+        return (out * tangent).sum()
+
+    def loss_naive(q, k, v):
+        return (naive(q, k, v, mask) * tangent).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gn, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, err_msg=f"d{name}"
+        )
+
+
+def test_custom_vjp_masked_keys_zero_grad():
+    B, H, Q, D, L = 1, 1, 128, 32, 256
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, Q, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, L, D))
+    mask = jnp.zeros((B, L), bool).at[:, 200:].set(True)
+
+    def loss(k, v):
+        return flash_cross_attention(q, k, v, mask, 128, 256, True).sum()
+
+    dk, dv = jax.grad(loss, argnums=(0, 1))(k, v)
+    np.testing.assert_allclose(np.asarray(dk[:, :, 200:]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dv[:, :, 200:]), 0.0, atol=1e-6)
