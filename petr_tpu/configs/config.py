@@ -63,8 +63,11 @@ class ModelConfig:
     # which FPN level feeds the head (reference position_level, petr_head.py:183)
     head_feat_level: int = 0
     compute_dtype: str = "bfloat16"
-    # Pallas online-softmax decoder cross-attention (inference path)
-    use_flash_attention: bool = False
+    # Pallas online-softmax decoder cross-attention (flash VJP for training)
+    use_flash_attention: bool = True
+    # activation rematerialization (reference with_cp; disable when HBM allows
+    # — saves the recompute FLOPs in backward)
+    remat: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

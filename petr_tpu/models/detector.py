@@ -56,6 +56,7 @@ class PETRDetector(nn.Module):
             feats = VoVNet(
                 spec=cfg.backbone.spec,
                 out_indices=cfg.backbone.out_indices,
+                remat=cfg.remat,
                 dtype=dtype,
                 name="backbone",
             )(x)
@@ -65,6 +66,7 @@ class PETRDetector(nn.Module):
                 depth=depth,
                 out_indices=cfg.backbone.out_indices,
                 dcn_stages=cfg.backbone.dcn_stages,
+                remat_stages=cfg.remat,
                 dtype=dtype,
                 name="backbone",
             )(x)
@@ -103,6 +105,7 @@ class PETRDetector(nn.Module):
             dropout_rate=hcfg.dropout_rate,
             shared_branches=hcfg.shared_branches,
             deterministic=self.deterministic,
+            remat=cfg.remat,
             use_flash=cfg.use_flash_attention,
             dtype=dtype,
             name="head",

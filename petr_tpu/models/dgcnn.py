@@ -8,9 +8,11 @@ Behavioral references (sty61010/PETR):
     reproduced faithfully), edge features cat(neighbor, query) -> 1x1
     conv+BN+ReLU, max over neighbors; two stacked edge convs summed, residual.
   * `models/dense_heads/dgcnn3d_head.py` — DETR-style decoder over flattened
-    BEV features; here the deformable attention is a standard masked
-    cross-attention over BEV tokens (TPU-first choice; MXU-friendly dense
-    attention at BEV-token counts beats a gather-based deformable op).
+    BEV features. ``attn_kind`` selects the cross-attention: "dense" (masked
+    attention over BEV tokens — MXU-friendly at these token counts) or
+    "deformable" (the reference's MSDeformAttn paradigm via
+    `ops/deformable.py`, sampling P points per head around each query's BEV
+    reference).
   * mmdet3d hard voxelization (CUDA) -> pillar scatter re-designed as a
     static-shape device scatter-mean over a BEV grid.
 """
@@ -25,6 +27,7 @@ from flax import linen as nn
 
 from petr_tpu.models.layers import FFN, MultiheadAttention
 from petr_tpu.models.petr_head import ClsBranch, RegBranch
+from petr_tpu.ops.deformable import MSDeformableAttention
 from petr_tpu.ops.geometry import inverse_sigmoid
 
 Dtype = Any
@@ -107,6 +110,8 @@ class DGCNN3DHead(nn.Module):
     pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     dropout_rate: float = 0.1
     deterministic: bool = True
+    attn_kind: str = "dense"  # "dense" | "deformable"
+    num_points: int = 4  # sampling points per head (deformable)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -114,7 +119,8 @@ class DGCNN3DHead(nn.Module):
         """bev_feats: (B, H, W, C) BEV feature map."""
         B, H, W, _ = bev_feats.shape
         C = self.embed_dim
-        tokens = nn.Dense(C, dtype=self.dtype, name="input_proj")(bev_feats).reshape(B, H * W, C)
+        bev = nn.Dense(C, dtype=self.dtype, name="input_proj")(bev_feats)
+        tokens = bev.reshape(B, H * W, C)
 
         query_embed = self.param(
             "query_embedding", nn.initializers.normal(1.0), (self.num_query, 2 * C), jnp.float32
@@ -134,9 +140,15 @@ class DGCNN3DHead(nn.Module):
                 name=f"layer{lvl}_dgcnn",
             )(query, query_pos)
             query = nn.LayerNorm(dtype=self.dtype, name=f"layer{lvl}_norm1")(query)
-            ca = MultiheadAttention(
-                C, self.num_heads, self.dropout_rate, self.dtype, name=f"layer{lvl}_cross"
-            )(query + query_pos, tokens, tokens, deterministic=self.deterministic)
+            if self.attn_kind == "deformable":
+                ca = MSDeformableAttention(
+                    C, self.num_heads, self.num_points, self.dtype,
+                    name=f"layer{lvl}_cross",
+                )(query + query_pos, [bev], ref[..., :2])
+            else:
+                ca = MultiheadAttention(
+                    C, self.num_heads, self.dropout_rate, self.dtype, name=f"layer{lvl}_cross"
+                )(query + query_pos, tokens, tokens, deterministic=self.deterministic)
             query = nn.LayerNorm(dtype=self.dtype, name=f"layer{lvl}_norm2")(query + ca)
             query = query + FFN(
                 self.ffn_dim, C, self.dropout_rate, self.dtype, name=f"layer{lvl}_ffn"

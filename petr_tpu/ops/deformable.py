@@ -14,10 +14,12 @@ demand it.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+import math
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from flax import linen as nn
 
 from petr_tpu.ops.sampling import bilinear_sample
 
@@ -83,3 +85,70 @@ def deformable_attention_module_forward(
         vals.append(pv)
     out = ms_deformable_attention(vals, ref_points, off.astype(jnp.float32), w)
     return out.reshape(B, Q, C) @ out_proj_w + out_proj_b
+
+
+def _grid_offset_bias_init(num_heads: int, num_levels: int, num_points: int):
+    """mmcv MSDeformAttn offset-bias init: per-head unit directions around a
+    ring, scaled by (point_index + 1)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        thetas = jnp.arange(num_heads, dtype=jnp.float32) * (2.0 * math.pi / num_heads)
+        grid = jnp.stack([jnp.cos(thetas), jnp.sin(thetas)], -1)  # (nh, 2)
+        grid = grid / jnp.abs(grid).max(-1, keepdims=True)
+        grid = jnp.tile(grid[:, None, None, :], (1, num_levels, num_points, 1))
+        scale = jnp.arange(1, num_points + 1, dtype=jnp.float32)[None, None, :, None]
+        return (grid * scale).reshape(-1).astype(dtype)
+
+    return init
+
+
+class MSDeformableAttention(nn.Module):
+    """Flax module form of mmcv's ``MultiScaleDeformableAttention`` (the CUDA
+    op's TPU-native equivalent), for DETR-family decoders (reference
+    `models/utils/detr.py:34-115` and the DGCNN3D configs).
+
+    Call with per-level channels-last value maps and normalized [0, 1]
+    reference points; offsets are predicted in pixel units of each level.
+    """
+
+    embed_dim: int
+    num_heads: int = 8
+    num_points: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jax.Array,  # (B, Q, C)
+        value_levels: Sequence[jax.Array],  # per level (B, H_l, W_l, C)
+        ref_points: jax.Array,  # (B, Q, 2) normalized (x, y)
+    ) -> jax.Array:
+        B, Q, C = query.shape
+        nh, P, L = self.num_heads, self.num_points, len(value_levels)
+        dh = C // nh
+
+        off = nn.Dense(
+            nh * L * P * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_grid_offset_bias_init(nh, L, P),
+            dtype=jnp.float32,
+            name="sampling_offsets",
+        )(query.astype(jnp.float32)).reshape(B, Q, nh, L, P, 2)
+        w = nn.Dense(
+            nh * L * P,
+            kernel_init=nn.initializers.zeros,
+            dtype=jnp.float32,
+            name="attention_weights",
+        )(query.astype(jnp.float32)).reshape(B, Q, nh, L * P)
+        w = jax.nn.softmax(w, -1).reshape(B, Q, nh, L, P)
+
+        value_proj = nn.Dense(C, dtype=self.dtype, name="value_proj")
+        vals = []
+        for v in value_levels:
+            _, H, W_, _ = v.shape
+            pv = value_proj(v.reshape(B, H * W_, C))
+            vals.append(pv.astype(jnp.float32).reshape(B, H, W_, nh, dh))
+        out = ms_deformable_attention(vals, ref_points.astype(jnp.float32), off, w)
+        return nn.Dense(C, dtype=self.dtype, name="out_proj")(
+            out.reshape(B, Q, C).astype(self.dtype)
+        )

@@ -64,3 +64,44 @@ def test_module_forward_shapes_two_levels():
     out = deformable_attention_module_forward(q, levels, ref, **kw)
     assert out.shape == (B, Q, C)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flax_module_offset_bias_init_and_forward():
+    from petr_tpu.ops.deformable import MSDeformableAttention
+
+    B, Q, C = 2, 5, 32
+    rng = np.random.RandomState(1)
+    levels = [
+        jnp.asarray(rng.randn(B, 8, 10, C), jnp.float32),
+        jnp.asarray(rng.randn(B, 4, 5, C), jnp.float32),
+    ]
+    q = jnp.asarray(rng.randn(B, Q, C), jnp.float32)
+    ref = jnp.asarray(rng.rand(B, Q, 2), jnp.float32)
+    mod = MSDeformableAttention(C, num_heads=4, num_points=2)
+    variables = mod.init(jax.random.PRNGKey(0), q, levels, ref)
+    out = mod.apply(variables, q, levels, ref)
+    assert out.shape == (B, Q, C)
+    assert np.isfinite(np.asarray(out)).all()
+    # mmcv-style bias init: per-head ring directions scaled by point index
+    bias = np.asarray(variables["params"]["sampling_offsets"]["bias"]).reshape(4, 2, 2, 2)
+    np.testing.assert_allclose(bias[:, :, 1, :], 2.0 * bias[:, :, 0, :], atol=1e-5)
+    norms = np.abs(bias[:, 0, 0, :]).max(-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    # offsets kernel starts at zero
+    assert np.abs(np.asarray(variables["params"]["sampling_offsets"]["kernel"])).max() == 0.0
+
+
+def test_dgcnn_head_deformable_attn_kind():
+    from petr_tpu.models.dgcnn import DGCNN3DHead
+
+    B, H, W, C = 1, 8, 8, 32
+    bev = jnp.asarray(np.random.RandomState(0).randn(B, H, W, C), jnp.float32)
+    head = DGCNN3DHead(
+        num_classes=4, embed_dim=32, num_query=12, num_layers=2, num_heads=4,
+        ffn_dim=64, attn_kind="deformable",
+    )
+    variables = head.init(jax.random.PRNGKey(0), bev)
+    out = head.apply(variables, bev)
+    assert out["cls_logits"].shape == (2, B, 12, 4)
+    assert out["bbox_codes"].shape == (2, B, 12, 10)
+    assert np.isfinite(np.asarray(out["bbox_codes"])).all()
