@@ -29,6 +29,11 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--out", default=None, help="dump detections json")
     p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument(
+        "--fuse-conv-bn", action="store_true",
+        help="fold frozen BN into conv kernels before inference "
+        "(reference tools/test.py --fuse-conv-bn)",
+    )
     return p.parse_args()
 
 
@@ -58,6 +63,10 @@ def main():
     params = state.params
     if args.ckpt:
         params = load_params(args.ckpt, params)
+    if args.fuse_conv_bn:
+        from petr_tpu.utils.fuse import fold_frozen_bn
+
+        params = jax.tree.map(jnp.asarray, fold_frozen_bn(params))
 
     eval_step = jax.jit(make_eval_step(cfg))
 

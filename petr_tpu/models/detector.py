@@ -32,7 +32,10 @@ class PETRDetector(nn.Module):
     @nn.compact
     def __call__(
         self,
-        images: jax.Array,  # (B, N, H, W, 3) normalized
+        images: jax.Array,  # (B, N, H, W, 3) normalized; (B, A, N, H, W, 3)
+        #                     for TTA — features are averaged over the A aug
+        #                     variants before the head (reference `aug_test`,
+        #                     petr3d.py:239-247)
         img2lidar: jax.Array,  # (B, N, 4, 4)
         img_hw: jax.Array,  # (B, N, 2)
         *,
@@ -45,11 +48,16 @@ class PETRDetector(nn.Module):
     ) -> Dict[str, jax.Array]:
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
-        B, N, H, W, C = images.shape
+        num_aug = 1
+        if images.ndim == 6:
+            B, num_aug, N = images.shape[:3]
+            images = images.reshape(B * num_aug, *images.shape[2:])
+        B_eff, N, H, W, C = images.shape
 
         if cfg.use_grid_mask and grid_mask_rng is not None and not self.deterministic:
             images = grid_mask(grid_mask_rng, images)
 
+        B = B_eff
         x = images.reshape(B * N, H, W, C).astype(dtype)
 
         if cfg.backbone.kind == "vovnet":
@@ -85,6 +93,10 @@ class PETRDetector(nn.Module):
         f = feats[lvl]
         fh, fw, fc = f.shape[-3:]
         f = f.reshape(B, N, fh, fw, fc)
+        if num_aug > 1:
+            # TTA: mean of extracted features over aug variants
+            B = B // num_aug
+            f = f.reshape(B, num_aug, N, fh, fw, fc).mean(axis=1)
 
         hcfg = cfg.head
         head_kwargs = dict(

@@ -128,17 +128,25 @@ class MultiheadAttention(nn.Module):
         v = v.reshape(B, L, H, D)
 
         # The Pallas path streams K/V through VMEM (no (Q, L) logits in HBM)
-        # and has a custom flash VJP, so it serves training too — except when
-        # attention-prob dropout is active (reference recipe trains with 0.1),
-        # which requires the XLA path.
-        if self.use_flash and (deterministic or self.dropout_rate == 0.0):
+        # and has a custom flash VJP with in-kernel attention-prob dropout
+        # (counter-based mask regenerated in backward), so it serves training
+        # (reference recipe's 0.1 attn dropout) and inference alike.
+        if self.use_flash:
             from petr_tpu.ops.pallas.cross_attention import flash_cross_attention
 
+            rate = 0.0 if deterministic else float(self.dropout_rate)
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32,
+                )
             out = flash_cross_attention(
                 q.transpose(0, 2, 1, 3),
                 k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3),
                 key_padding_mask,
+                128, 512, False, rate, seed,
             ).transpose(0, 2, 1, 3)
         else:
             scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))

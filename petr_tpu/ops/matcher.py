@@ -32,8 +32,10 @@ def lap_solve(cost: jax.Array, row_valid: jax.Array) -> jax.Array:
         row_valid: (R,) bool.
 
     Returns:
-        col_of_row: (R,) int32 — the column assigned to each row (defined for
-        every row; consumers should mask with ``row_valid``).
+        col_of_row: (R,) int32 — the column assigned to each valid row.
+        Invalid rows return an arbitrary column (0); consumers MUST mask
+        with ``row_valid`` (e.g. scatter via a dump slot) — invalid rows'
+        values may collide with valid assignments.
     """
     R, C = cost.shape
     assert R <= C, "lap_solve expects rows <= cols"
@@ -45,7 +47,10 @@ def lap_solve(cost: jax.Array, row_valid: jax.Array) -> jax.Array:
 
     def assign_row(i, carry):
         u, v, p = carry  # u:(R+1,), v:(C+1,), p:(C+1,) col->row, -1 = free
-        p = p.at[VIRT].set(i)
+        # Padding rows skip the whole augmenting search: leaving p[VIRT] = -1
+        # makes both while_loops below exit immediately, so u/v/p are
+        # untouched and (under vmap) padded rows add no lock-step iterations.
+        p = p.at[VIRT].set(jnp.where(row_valid[i], i, -1))
         minv0 = jnp.full((C,), _INF, jnp.float32)
         way0 = jnp.full((C,), VIRT, jnp.int32)
         used0 = jnp.zeros((C + 1,), jnp.bool_)

@@ -71,3 +71,60 @@ def sharded_cross_attention(
     return jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=P(), check_vma=False
     )(q, k, v, key_padding_mask)
+
+
+def flash_partial_attention(
+    q: jax.Array,  # (B, H, Q, D) replicated
+    k_shard: jax.Array,  # (B, H, Ls, D) local shard of keys
+    v_shard: jax.Array,  # (B, H, Ls, D)
+    mask_shard: Optional[jax.Array],  # (B, Ls) True = pad
+    axis_name: str,
+) -> jax.Array:
+    """Sequence-parallel FLASH attention: each shard runs the Pallas online
+    -softmax kernel locally (returning per-row logsumexp), then the exact
+    combine  out = sum_i exp(lse_i - M) out_i / sum_i exp(lse_i - M)  rides
+    ICI as one psum pair. Fully differentiable — the flash VJP accepts the
+    lse cotangent that the combine weights introduce."""
+    from petr_tpu.ops.pallas.cross_attention import flash_cross_attention_with_lse
+
+    out_i, lse_i = flash_cross_attention_with_lse(q, k_shard, v_shard, mask_shard)
+    # remap the kernel's fully-masked-row sentinel (+1e30) to -inf semantics
+    # so an empty shard contributes zero weight to the combine
+    lse_c = jnp.where(lse_i >= 1e29, NEG, lse_i)
+    # the combine is invariant to the shift m — detach it (and use
+    # all_gather+max rather than pmax, which has no differentiation rule);
+    # lse is only (B, H, Q) so the gather is negligible
+    m = jax.lax.stop_gradient(
+        jax.lax.all_gather(lse_c, axis_name).max(axis=0)
+    )  # (B, H, Q)
+    w = jnp.exp(lse_c - m)  # empty shards -> 0
+    num, den = jax.lax.psum(
+        (out_i.astype(jnp.float32) * w[..., None], w), axis_name
+    )
+    return (num / jnp.maximum(den[..., None], 1e-20)).astype(q.dtype)
+
+
+def sharded_flash_cross_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_padding_mask: Optional[jax.Array],
+    mesh: jax.sharding.Mesh,
+    model_axis: str = "model",
+):
+    """shard_map wrapper for :func:`flash_partial_attention`."""
+    from jax.sharding import PartitionSpec as P
+
+    in_specs = (
+        P(),
+        P(None, None, model_axis, None),
+        P(None, None, model_axis, None),
+        P(None, model_axis) if key_padding_mask is not None else None,
+    )
+
+    def body(q, ks, vs, ms):
+        return flash_partial_attention(q, ks, vs, ms, model_axis)
+
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=P(), check_vma=False
+    )(q, k, v, key_padding_mask)

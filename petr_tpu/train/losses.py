@@ -48,16 +48,17 @@ def _match_single(
         codes[:, :8], gt_codes[:, :8], weight=bbox_weight
     )
     cost = jax.lax.stop_gradient(cost)
-    q_of_g = lap_solve(cost.T, gt_valid)  # (G,) distinct queries
+    q_of_g = lap_solve(cost.T, gt_valid)  # (G,) distinct queries (valid rows)
+    # Invalid (padded) GT rows carry an arbitrary query index — scatter them
+    # into a dump slot past Q so they can never clobber a real match.
+    q_idx = jnp.where(gt_valid, q_of_g, Q)
 
-    labels_q = jnp.full((Q,), num_classes, jnp.int32)
-    labels_q = labels_q.at[q_of_g].set(
-        jnp.where(gt_valid, gt_labels, num_classes).astype(jnp.int32)
-    )
-    targets_q = jnp.zeros((Q, gt_codes.shape[-1]), jnp.float32).at[q_of_g].set(
-        jnp.where(gt_valid[:, None], gt_codes, 0.0)
-    )
-    weights_q = jnp.zeros((Q,), jnp.float32).at[q_of_g].set(gt_valid.astype(jnp.float32))
+    labels_q = jnp.full((Q + 1,), num_classes, jnp.int32)
+    labels_q = labels_q.at[q_idx].set(gt_labels.astype(jnp.int32))[:Q]
+    targets_q = jnp.zeros((Q + 1, gt_codes.shape[-1]), jnp.float32).at[q_idx].set(
+        gt_codes
+    )[:Q]
+    weights_q = jnp.zeros((Q + 1,), jnp.float32).at[q_idx].set(1.0)[:Q]
     return labels_q, targets_q, weights_q, gt_valid.sum().astype(jnp.float32)
 
 

@@ -75,3 +75,31 @@ def test_lap_jits():
     f = jax.jit(lap_solve)
     col = np.asarray(f(cost, jnp.ones(8, bool)))
     assert len(set(col.tolist())) == 8
+
+
+def test_padded_rows_never_clobber_real_matches():
+    """Invalid rows return arbitrary columns; the loss-side scatter must not
+    let them overwrite a real assignment (dump-slot contract)."""
+    import jax.numpy as jnp
+    from petr_tpu.train.losses import _match_single
+
+    Q, G, C = 8, 4, 3
+    rng = np.random.RandomState(0)
+    cls_logits = jnp.asarray(rng.randn(Q, C), jnp.float32)
+    # make query 0 strongly preferred by GT row 0 via the bbox cost
+    codes = jnp.asarray(rng.randn(Q, 10), jnp.float32)
+    gt_codes = jnp.tile(codes[0:1], (G, 1))
+    gt_labels = jnp.asarray([1, 2, 0, 0], jnp.int32)
+    gt_valid = jnp.asarray([True, False, False, False])
+    labels_q, targets_q, weights_q, npos = _match_single(
+        cls_logits, codes, gt_codes, gt_labels, gt_valid,
+        num_classes=C, cls_weight=2.0, bbox_weight=0.25,
+    )
+    assert float(npos) == 1.0
+    # exactly one positive query, labeled with gt row 0's class
+    matched = np.where(np.asarray(weights_q) > 0)[0]
+    assert len(matched) == 1
+    assert np.asarray(labels_q)[matched[0]] == 1
+    # every other query is background
+    others = np.setdiff1d(np.arange(Q), matched)
+    assert (np.asarray(labels_q)[others] == C).all()

@@ -125,3 +125,34 @@ def test_grid_mask_properties():
     # prob=0 -> identity
     out0 = grid_mask(jax.random.PRNGKey(0), imgs, prob=0.0)
     np.testing.assert_array_equal(np.asarray(out0), np.asarray(imgs))
+
+
+def test_tta_feature_averaging_matches_single_forward():
+    """(B, A, N, H, W, 3) TTA input with identical copies == single forward
+    (reference aug_test averages extracted features, petr3d.py:239-247)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import __graft_entry__ as ge
+    from petr_tpu.configs import get_config
+    from petr_tpu.models import PETRDetector
+
+    cfg = get_config("tiny_debug")
+    model = PETRDetector(cfg.model, deterministic=True)
+    B, N, H, W = 1, 6, *cfg.data.image_size
+    batch = ge._batch(B, N, H, W, 4)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["img2lidar"], batch["img_hw"]
+    )
+    single = model.apply(
+        variables, batch["images"], batch["img2lidar"], batch["img_hw"]
+    )
+    tta_images = jnp.stack([batch["images"], batch["images"]], axis=1)  # (B, 2, N, ...)
+    tta = model.apply(variables, tta_images, batch["img2lidar"], batch["img_hw"])
+    np.testing.assert_allclose(
+        np.asarray(tta["cls_logits"]), np.asarray(single["cls_logits"]), atol=1e-5
+    )
+    # and with actually-different variants the result differs
+    tta2_images = jnp.stack([batch["images"], batch["images"] * 0.5], axis=1)
+    tta2 = model.apply(variables, tta2_images, batch["img2lidar"], batch["img_hw"])
+    assert np.abs(np.asarray(tta2["cls_logits"]) - np.asarray(single["cls_logits"])).max() > 1e-3

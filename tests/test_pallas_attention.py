@@ -105,3 +105,105 @@ def test_custom_vjp_masked_keys_zero_grad():
     dk, dv = jax.grad(loss, argnums=(0, 1))(k, v)
     np.testing.assert_allclose(np.asarray(dk[:, :, 200:]), 0.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(dv[:, :, 200:]), 0.0, atol=1e-6)
+
+
+def _assemble_keep(seed, B, H, Q, L, block_q, block_k, rate):
+    """Rebuild the kernel's per-(q, k) keep mask on the host for a dense
+    reference (same counter-based hash, same block mapping)."""
+    from petr_tpu.ops.pallas.cross_attention import _dropout_keep
+    import numpy as np
+
+    Qp = -(-Q // block_q) * block_q
+    Lp = -(-L // block_k) * block_k
+    keep = np.zeros((B * H, Qp, Lp), bool)
+    for bh in range(B * H):
+        for qi in range(Qp // block_q):
+            for ki in range(Lp // block_k):
+                blk = np.asarray(
+                    _dropout_keep(
+                        jnp.int32(seed), jnp.int32(bh), jnp.int32(qi), jnp.int32(ki),
+                        block_q, block_k, rate,
+                    )
+                )
+                keep[bh, qi * block_q:(qi + 1) * block_q, ki * block_k:(ki + 1) * block_k] = blk
+    return jnp.asarray(keep.reshape(B, H, Qp, Lp)[:, :, :Q, :L])
+
+
+def naive_dropout(q, k, v, mask, keep, rate):
+    D = q.shape[-1]
+    s = jnp.einsum("bhqd,bhld->bhql", q, k).astype(jnp.float32) / np.sqrt(D)
+    s = jnp.where(mask[:, None, None, :], -1e30, s)
+    p = jax.nn.softmax(s, axis=-1)
+    p = jnp.where(keep, p / (1.0 - rate), 0.0)
+    return jnp.einsum("bhql,bhld->bhqd", p, v.astype(jnp.float32))
+
+
+def test_dropout_forward_matches_dense_with_same_mask():
+    B, H, Q, D, L = 1, 2, 130, 32, 520
+    rate, seed = 0.3, 7
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, Q, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, L, D))
+    mask = jax.random.bernoulli(jax.random.PRNGKey(3), 0.2, (B, L))
+    keep = _assemble_keep(seed, B, H, Q, L, 128, 256, rate)
+    out = flash_cross_attention(q, k, v, mask, 128, 256, True, rate, jnp.int32(seed))
+    want = naive_dropout(q, k, v, mask, keep, rate)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+
+def test_dropout_backward_matches_dense_with_same_mask():
+    B, H, Q, D, L = 1, 2, 128, 32, 512
+    rate, seed = 0.25, 11
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, Q, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, L, D))
+    mask = jax.random.bernoulli(jax.random.PRNGKey(3), 0.2, (B, L))
+    tangent = jax.random.normal(jax.random.PRNGKey(4), (B, H, Q, D))
+    keep = _assemble_keep(seed, B, H, Q, L, 128, 256, rate)
+
+    def loss_flash(q, k, v):
+        out = flash_cross_attention(q, k, v, mask, 128, 256, True, rate, jnp.int32(seed))
+        return (out * tangent).sum()
+
+    def loss_dense(q, k, v):
+        return (naive_dropout(q, k, v, mask, keep, rate) * tangent).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gn, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, err_msg=f"d{name}"
+        )
+
+
+def test_dropout_keep_statistics_and_determinism():
+    from petr_tpu.ops.pallas.cross_attention import _dropout_keep
+
+    rate = 0.4
+    a = np.asarray(_dropout_keep(jnp.int32(5), jnp.int32(0), jnp.int32(0), jnp.int32(0), 256, 512, rate))
+    b = np.asarray(_dropout_keep(jnp.int32(5), jnp.int32(0), jnp.int32(0), jnp.int32(0), 256, 512, rate))
+    c = np.asarray(_dropout_keep(jnp.int32(6), jnp.int32(0), jnp.int32(0), jnp.int32(0), 256, 512, rate))
+    assert (a == b).all()  # deterministic
+    assert (a != c).any()  # seed changes the mask
+    assert abs(a.mean() - (1 - rate)) < 0.01
+
+
+def test_fully_masked_rows_zero_output_and_grads():
+    """All keys masked: forward = 0, backward stays finite and zero."""
+    B, H, Q, D, L = 1, 1, 128, 32, 256
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, Q, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, L, D))
+    mask = jnp.ones((B, L), bool)
+
+    out = flash_cross_attention(q, k, v, mask, 128, 256, True)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+    def loss(q, k, v):
+        return flash_cross_attention(q, k, v, mask, 128, 256, True).sum()
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g, name in zip((gq, gk, gv), "qkv"):
+        g = np.asarray(g)
+        assert np.isfinite(g).all(), f"d{name} not finite"
+        np.testing.assert_allclose(g, 0.0, atol=1e-6, err_msg=f"d{name}")

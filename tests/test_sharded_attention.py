@@ -56,3 +56,54 @@ def test_sharded_shard_local_consistency(mesh):
     k2 = k.at[:, :, 48:].set(1e6)
     out2 = sharded_cross_attention(q, k2, v, mask, mesh)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+from petr_tpu.parallel.sharded_attention import sharded_flash_cross_attention
+
+
+def test_sharded_flash_matches_dense(mesh):
+    """Flash-per-shard + lse combine == dense attention (values)."""
+    B, H, Q, D, L = 1, 2, 64, 32, 1024  # Ls = 256 per shard (block-aligned)
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, Q, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, L, D))
+    mask = jax.random.bernoulli(jax.random.PRNGKey(3), 0.25, (B, L))
+    out = sharded_flash_cross_attention(q, k, v, mask, mesh)
+    want = dense(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+
+def test_sharded_flash_empty_shard(mesh):
+    """A shard whose keys are ALL masked contributes zero weight."""
+    B, H, Q, D, L = 1, 1, 32, 32, 1024
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, Q, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, L, D))
+    mask = jnp.zeros((B, L), bool).at[:, 768:].set(True)  # last shard all-pad
+    out = sharded_flash_cross_attention(q, k, v, mask, mesh)
+    want = dense(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+
+def test_sharded_flash_grads_match_dense(mesh):
+    """Gradients flow through the per-shard flash VJP AND the lse-weighted
+    combine; compare against autodiff of dense attention."""
+    B, H, Q, D, L = 1, 2, 32, 32, 1024
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, Q, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, L, D))
+    mask = jax.random.bernoulli(jax.random.PRNGKey(3), 0.2, (B, L))
+    t = jax.random.normal(jax.random.PRNGKey(4), (B, H, Q, D))
+
+    def loss_sharded(q, k, v):
+        return (sharded_flash_cross_attention(q, k, v, mask, mesh) * t).sum()
+
+    def loss_dense(q, k, v):
+        return (dense(q, k, v, mask) * t).sum()
+
+    gs = jax.grad(loss_sharded, argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gs, gn, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, err_msg=f"d{name}"
+        )
