@@ -201,6 +201,35 @@ def photometric_distortion(
     return img.astype(np.float32)
 
 
+def albu_multiview(transforms: Sequence[dict]):
+    """Albumentations wrapper per view (reference ``AlbuMultiview3D``,
+    transform_3d.py:550-682 — registered but unused by shipped configs).
+
+    Returns a callable ``imgs -> imgs`` applying the composed albumentations
+    pipeline to every view independently. Albumentations is an optional
+    dependency (not shipped in the TPU image); any plain-python per-view
+    callable composes the same way through ``Dataset`` transforms, so this
+    shim only exists for config-level drop-in parity.
+    """
+    try:
+        import albumentations
+    except ImportError as e:  # pragma: no cover - optional dep
+        raise ImportError(
+            "albu_multiview needs the optional 'albumentations' package; "
+            "use photometric_distortion or any per-view callable instead"
+        ) from e
+
+    compose = albumentations.Compose(
+        [albumentations.from_dict({"transform": t}) if isinstance(t, dict) else t
+         for t in transforms]
+    )
+
+    def apply(imgs):
+        return [compose(image=np.asarray(img))["image"] for img in imgs]
+
+    return apply
+
+
 def normalize_image(
     img: np.ndarray,
     mean: Sequence[float],

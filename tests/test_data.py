@@ -194,3 +194,20 @@ def test_loader_deterministic_order(tmp_path):
     assert len(a) == 2
     c = [b["tokens"] for b in loader.epoch(1)]
     assert a != c  # reshuffled
+
+
+def test_albu_multiview_requires_optional_dep():
+    import pytest
+    from petr_tpu.data.transforms import albu_multiview
+
+    try:
+        import albumentations  # noqa: F401
+        has_albu = True
+    except ImportError:
+        has_albu = False
+    if has_albu:
+        fn = albu_multiview([])
+        assert callable(fn)
+    else:
+        with pytest.raises(ImportError, match="albumentations"):
+            albu_multiview([])
