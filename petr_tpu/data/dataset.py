@@ -131,7 +131,12 @@ class NuScenesDataset:
                 prev = sweeps[idx]
                 cams += [dict(prev[name], _ts_ref=info["timestamp"]) for name in CAM_ORDER]
             else:
-                cams += [dict(c) for c in cams]
+                # reference pad_empty_sweeps (`loading.py:69-78`): repeat the
+                # current frame but offset its timestamp by the mid-sweep
+                # mean time so with_time sees a sane nonzero dt
+                lo, hi = self.sweep_range
+                mean_time = (lo + hi) / 2.0 * 0.083
+                cams += [dict(c, _ts_pad=mean_time) for c in cams]
         return cams
 
     def _full_path(self, path: str) -> str:
@@ -213,7 +218,12 @@ class NuScenesDataset:
             mats = cam_matrices(cam)
             intr = update_intrinsics_ida(mats["intrinsics"], ida)
             l2i_list.append(compose_lidar2img(intr, mats["extrinsics"]))
-            ts_list.append(float(cam.get("timestamp", 0.0)) - float(cam.get("_ts_ref", 0.0)))
+            # lidar-relative delta, reference sign convention (lidar - img,
+            # loading.py:65): prev-frame images get POSITIVE deltas. The
+            # sign flows into with_time velocity normalization, so matching
+            # it keeps imported torch checkpoints' velocities correct.
+            ts = float(cam.get("_ts_ref", 0.0)) - float(cam.get("timestamp", 0.0))
+            ts_list.append(ts + float(cam.get("_ts_pad", 0.0)))
 
         l2i = np.stack(l2i_list)  # (N, 4, 4)
 

@@ -152,6 +152,12 @@ class PETRv2Head(nn.Module):
             assert timestamp is not None, "with_time head requires timestamps"
             ts = timestamp.astype(jnp.float32).reshape(B, -1, 6)
             mean_dt = (ts[:, 1, :] - ts[:, 0, :]).mean(-1)  # (B,)
+            # guard degenerate timestamps (padded/duplicated sweeps give
+            # dt ~ 0; the reference would emit inf velocities here) — clamp
+            # |dt| away from zero, keeping sign
+            mean_dt = jnp.where(
+                jnp.abs(mean_dt) < 1e-3, jnp.where(mean_dt < 0, -1e-3, 1e-3), mean_dt
+            )
 
         ref = inverse_sigmoid(reference_points)
 

@@ -180,7 +180,8 @@ def test_dataset_v2_two_frames(tmp_path):
     assert s["images"].shape == (12, 32, 80, 3)
     ts = s["timestamp"].reshape(2, 6)
     assert (ts[0] == 0).all()  # current frame at reference time
-    assert (ts[1] < 0).all()  # previous frame earlier
+    # reference sign (lidar - img, loading.py:65): earlier image -> POSITIVE
+    assert (ts[1] > 0).all()
 
 
 def test_loader_deterministic_order(tmp_path):

@@ -94,3 +94,38 @@ def test_depthr_train_step(tmp_path):
     step = jax.jit(make_train_step(cfg))
     state, m = step(state, jb, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_v2_zero_timestamps_finite():
+    """Degenerate (all-zero) timestamps must not produce inf velocities
+    (dt clamp; the real pipeline pads empty sweeps with a mean offset)."""
+    import dataclasses
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+    from petr_tpu.configs import get_config
+    from petr_tpu.models import PETRDetector
+
+    cfg = get_config("petrv2_vov_p4_800x320")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            backbone=dataclasses.replace(cfg.model.backbone, spec="V-39-eSE"),
+        ),
+        data=dataclasses.replace(cfg.data, image_size=(64, 160)),
+    )
+    model = PETRDetector(cfg.model, deterministic=True)
+    B, N, H, W = 1, 12, *cfg.data.image_size
+    batch = ge._batch(B, N, H, W, 4, with_ts=True)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["img2lidar"], batch["img_hw"],
+        timestamp=batch["timestamp"],
+    )
+    out = model.apply(
+        variables, batch["images"], batch["img2lidar"], batch["img_hw"],
+        timestamp=jnp.zeros((B, N)),
+    )
+    assert np.isfinite(np.asarray(out["bbox_codes"], np.float32)).all()
+    assert np.isfinite(np.asarray(out["cls_logits"], np.float32)).all()
