@@ -1,0 +1,116 @@
+"""Multi-device scaling-efficiency benchmark.
+
+Measures training-step throughput at growing device counts on a (data, model)
+mesh and reports weak-scaling efficiency vs the single-device run — the
+TPU-native analogue of timing `tools/dist_train.sh` at 1/2/4/8 GPUs against
+the reference (BASELINE.md asks for frames/s at 1 chip, 1 host and >=2 hosts
+with >=80% efficiency).
+
+    # on a real pod slice (run on every host; jax.distributed wires DCN):
+    python -m petr_tpu.cli.scaling --config petr_vov_p4_800x320
+
+    # harness validation anywhere (8 virtual CPU devices, tiny config):
+    python -m petr_tpu.cli.scaling --virtual 8 --config tiny_debug
+
+Weak scaling: the per-device batch is fixed (--batch-per-device), so the
+global batch grows with the mesh; ideal scaling keeps ms/step flat.
+Efficiency = t(1 device) / t(n devices).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="tiny_debug")
+    p.add_argument("--batch-per-device", type=int, default=1)
+    p.add_argument("--devices", default=None,
+                   help="comma-separated device counts (default 1,2,..,all)")
+    p.add_argument("--virtual", type=int, default=0,
+                   help="force N virtual CPU devices (harness validation)")
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--model-parallel", type=int, default=None,
+                   help="fix the model-axis size (default: devices, i.e. pure "
+                        "token sharding at n<=local chips)")
+    args = p.parse_args()
+
+    import os
+
+    if args.virtual:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.virtual}"
+        ).strip()
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import __graft_entry__ as ge
+    from petr_tpu.configs import get_config
+    from petr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from petr_tpu.train import create_train_state, make_train_step
+
+    cfg = get_config(args.config)
+    n_all = len(jax.devices())
+    if args.devices:
+        counts = [int(c) for c in args.devices.split(",")]
+    else:
+        counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n_all]
+
+    N = cfg.data.num_views * cfg.data.num_frames
+    H, W = cfg.data.image_size
+    results = []
+    t1 = None
+    for n in counts:
+        mesh = make_mesh(n, model=min(n, args.model_parallel or n))
+        data_par = mesh.devices.shape[0]
+        B = args.batch_per_device * data_par
+        batches = [
+            ge._batch(B, N, H, W, cfg.data.max_gt,
+                      with_ts=cfg.data.num_frames > 1, seed=s)
+            for s in range(2)
+        ]
+        state = create_train_state(cfg, jax.random.PRNGKey(0), 1000, batches[0])
+        train_step = make_train_step(cfg)
+        with jax.set_mesh(mesh):
+            state = replicate(state, mesh)
+            sharded = [shard_batch(b, mesh) for b in batches]
+            rng = jax.device_put(jax.random.PRNGKey(1), NamedSharding(mesh, P()))
+            step = jax.jit(train_step, donate_argnums=(0,))
+
+            def chain(k):
+                nonlocal state
+                m = None
+                for i in range(k):
+                    state, m = step(state, sharded[i % 2], rng)
+                return float(m["loss"])  # forces the chain
+
+            chain(args.warmup)
+            t0 = time.perf_counter()
+            chain(args.steps)
+            dt = (time.perf_counter() - t0) / args.steps
+        if t1 is None:
+            t1 = dt
+        eff = t1 / dt
+        rec = {
+            "devices": n,
+            "mesh": list(mesh.devices.shape),
+            "global_batch": B,
+            "ms_per_step": round(dt * 1e3, 2),
+            "samples_per_s": round(B / dt, 2),
+            "weak_scaling_efficiency": round(eff, 3),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+        del state, sharded, batches
+    return results
+
+
+if __name__ == "__main__":
+    main()

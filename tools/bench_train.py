@@ -1,0 +1,59 @@
+"""Training-step throughput vs batch size on the real chip.
+
+Steps are chained through the optimizer state (true data dependence), so one
+host read at the end forces the whole chain — RTT amortized over K steps.
+"""
+
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, "/root/repo")
+import __graft_entry__ as ge
+from petr_tpu.configs import get_config
+from petr_tpu.train import create_train_state, make_train_step
+
+K = 10
+
+
+def main():
+    name = sys.argv[1] if len(sys.argv) > 1 else "petr_vov_p4_800x320"
+    cfg = get_config(name)
+    N = cfg.data.num_views * cfg.data.num_frames
+    H, W = cfg.data.image_size
+    for B in (1, 2, 4, 8):
+        try:
+            batches = [
+                ge._batch(B, N, H, W, cfg.data.max_gt, with_ts=cfg.data.num_frames > 1, seed=s)
+                for s in range(4)
+            ]
+            state = create_train_state(cfg, jax.random.PRNGKey(0), 1000, batches[0])
+            step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+            rng = jax.random.PRNGKey(1)
+
+            def run_chain():
+                nonlocal state
+                for i in range(K):
+                    state, m = step(state, batches[i % len(batches)], rng)
+                return float(m["loss"])  # forces the chain
+
+            run_chain()  # compile + warmup
+            run_chain()
+            t0 = time.perf_counter()
+            iters = 3
+            for _ in range(iters):
+                run_chain()
+            dt = (time.perf_counter() - t0) / (iters * K)
+            print(
+                f"batch {B}: {dt*1e3:7.1f} ms/step  {B/dt:6.2f} samples/s/chip",
+                flush=True,
+            )
+            del state, batches
+        except Exception as e:  # OOM at large batch
+            print(f"batch {B}: failed ({type(e).__name__}: {str(e)[:120]})", flush=True)
+            break
+
+
+if __name__ == "__main__":
+    main()
