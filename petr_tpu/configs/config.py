@@ -28,6 +28,11 @@ class BackboneConfig:
     with_fpn: bool = True
     fpn_out_channels: int = 256
     fpn_num_outs: int = 2
+    # BN affine (scale/bias) trainability. The reference r50 configs freeze it
+    # (norm_cfg requires_grad=False, petr_r50dcn_gridmask_p4.py:37); VoVNet
+    # configs use plain nn.BatchNorm2d (affine trains; only stats are frozen
+    # via norm_eval, vovnetcp.py:406-413).
+    train_bn_affine: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,6 +142,7 @@ def _r50(out_indices, dcn=(2, 3)):
         kind="resnet", spec="r50", out_indices=out_indices, dcn_stages=dcn,
         with_fpn=len(out_indices) > 1,
         fpn_num_outs=len(out_indices),
+        train_bn_affine=False,
     )
 
 

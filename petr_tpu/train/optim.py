@@ -38,21 +38,33 @@ def make_lr_schedule(cfg: OptimConfig, total_steps: int) -> Callable[[jax.Array]
     return schedule
 
 
+def _key(entry) -> str:
+    return entry.key if hasattr(entry, "key") else str(entry)
+
+
 def _is_frozen_stat(path) -> bool:
-    leaf = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-    return leaf in ("mean", "var")
+    return _key(path[-1]) in ("mean", "var")
 
 
 def _is_backbone(path) -> bool:
-    first = path[0].key if hasattr(path[0], "key") else str(path[0])
-    return first == "backbone"
+    return _key(path[0]) == "backbone"
 
 
-def param_labels(params) -> Any:
-    """Label tree: 'frozen' (BN stats), 'backbone', or 'main'."""
+def _is_bn_affine(path) -> bool:
+    """scale/bias of a FrozenBatchNorm (module name contains 'bn')."""
+    return _key(path[-1]) in ("scale", "bias") and any(
+        "bn" in _key(p) for p in path[:-1]
+    )
+
+
+def param_labels(params, freeze_backbone_bn_affine: bool = False) -> Any:
+    """Label tree: 'frozen' (BN stats; + backbone BN affine for the r50
+    configs, reference norm_cfg requires_grad=False), 'backbone', or 'main'."""
 
     def label(path, _):
         if _is_frozen_stat(path):
+            return "frozen"
+        if freeze_backbone_bn_affine and _is_backbone(path) and _is_bn_affine(path):
             return "frozen"
         if _is_backbone(path):
             return "backbone"
@@ -61,7 +73,12 @@ def param_labels(params) -> Any:
     return jax.tree_util.tree_map_with_path(label, params)
 
 
-def build_optimizer(cfg: OptimConfig, total_steps: int, params) -> optax.GradientTransformation:
+def build_optimizer(
+    cfg: OptimConfig,
+    total_steps: int,
+    params,
+    freeze_backbone_bn_affine: bool = False,
+) -> optax.GradientTransformation:
     sched = make_lr_schedule(cfg, total_steps)
 
     def adamw(lr_mult: float):
@@ -79,6 +96,6 @@ def build_optimizer(cfg: OptimConfig, total_steps: int, params) -> optax.Gradien
             "backbone": adamw(cfg.backbone_lr_mult),
             "frozen": optax.set_to_zero(),
         },
-        param_labels(params),
+        param_labels(params, freeze_backbone_bn_affine),
     )
     return optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)

@@ -66,7 +66,10 @@ def create_train_state(
         **extra,
     )
     params = variables["params"]
-    tx = build_optimizer(cfg.train.optim, total_steps, params)
+    tx = build_optimizer(
+        cfg.train.optim, total_steps, params,
+        freeze_backbone_bn_affine=not cfg.model.backbone.train_bn_affine,
+    )
     return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params), tx=tx)
 
 

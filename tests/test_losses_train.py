@@ -171,3 +171,37 @@ def test_eval_step_shapes():
     assert det["boxes"].shape == (1, k, 9)
     assert det["scores"].shape == (1, k)
     assert det["labels"].shape == (1, k)
+
+
+def test_bn_affine_freezing_labels():
+    """r50 configs freeze backbone BN scale/bias (reference norm_cfg
+    requires_grad=False, petr_r50dcn_gridmask_p4.py:37); VoVNet configs train
+    them (plain nn.BatchNorm2d affine)."""
+    cfg = tiny_config()
+    batch = tiny_batch()
+    state = create_train_state(cfg, jax.random.PRNGKey(0), 100, batch)
+
+    frozen = param_labels(state.params, freeze_backbone_bn_affine=True)
+    trained = param_labels(state.params, freeze_backbone_bn_affine=False)
+
+    def find(tree, pred):
+        out = []
+        for path, v in jax.tree_util.tree_leaves_with_path(tree):
+            keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+            if pred(keys):
+                out.append((keys, v))
+        return out
+
+    bn_scale = lambda keys: keys[0] == "backbone" and keys[-1] == "scale" and any(
+        "bn" in k for k in keys
+    )
+    assert find(frozen, bn_scale) and all(v == "frozen" for _, v in find(frozen, bn_scale))
+    assert all(v == "backbone" for _, v in find(trained, bn_scale))
+    # conv kernels keep training either way
+    kernels = lambda keys: keys[0] == "backbone" and keys[-1] == "kernel"
+    assert all(v == "backbone" for _, v in find(frozen, kernels))
+    # the registered r50 presets set the flag; vovnet presets do not
+    from petr_tpu.configs import get_config
+
+    assert not get_config("petr_r50_p4_1408x512").model.backbone.train_bn_affine
+    assert get_config("petr_vov_p4_800x320").model.backbone.train_bn_affine
