@@ -11,7 +11,7 @@ Conventions:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,8 +44,44 @@ class FrozenBatchNorm(nn.Module):
         return (x * mul.astype(self.dtype) + add.astype(self.dtype)).astype(self.dtype)
 
 
+class _ConvKernel(nn.Module):
+    """Param holder producing the same tree as ``nn.Conv`` (conv/kernel)."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32)
+
+
+class _BNParams(nn.Module):
+    """Param holder matching ``FrozenBatchNorm`` (bn/{scale,bias,mean,var})."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        c = self.channels
+        return (
+            self.param("scale", nn.initializers.ones, (c,), jnp.float32),
+            self.param("bias", nn.initializers.zeros, (c,), jnp.float32),
+            self.param("mean", nn.initializers.zeros, (c,), jnp.float32),
+            self.param("var", nn.initializers.ones, (c,), jnp.float32),
+        )
+
+
 class ConvBNReLU(nn.Module):
-    """3x3/1x1 conv + frozen BN + optional ReLU (the backbone workhorse)."""
+    """3x3/1x1 conv + frozen BN + optional ReLU (the backbone workhorse).
+
+    PETR_TPU_CONV_IMPL=pallas routes supported 3x3/stride-1 shapes through
+    the fused im2col Pallas kernel (`ops/pallas/conv3x3.py`, BN scale/shift +
+    ReLU in the GEMM epilogue). Measured on the V-99 backbone (6x320x800):
+    XLA 15.8 ms vs Pallas 16.4 ms — XLA's conv emitter + fusion wins
+    in-graph, so the default stays XLA; the kernel remains as an explicit
+    option and a base for shapes where XLA regresses. The parameter tree
+    (conv/kernel + bn/{scale,bias,mean,var}) is identical on both paths, so
+    checkpoints and the torch importer are unaffected.
+    """
 
     features: int
     kernel: int = 3
@@ -53,9 +89,35 @@ class ConvBNReLU(nn.Module):
     relu: bool = True
     groups: int = 1
     dtype: Dtype = jnp.float32
+    eps: float = 1e-5
+
+    def _use_pallas(self, x_shape) -> bool:
+        import os
+
+        from petr_tpu.ops.pallas.conv3x3 import conv3x3_supported
+
+        if os.environ.get("PETR_TPU_CONV_IMPL", "xla") != "pallas":
+            return False
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        interp = jax.default_backend() == "cpu"  # tests force interpret mode
+        return (
+            (on_tpu or interp)
+            and self.kernel == 3
+            and conv3x3_supported(tuple(x_shape), self.stride, self.groups)
+        )
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self._use_pallas(x.shape):
+            from petr_tpu.ops.pallas.conv3x3 import conv3x3_bn_relu
+
+            w = _ConvKernel((3, 3, x.shape[-1], self.features), name="conv")()
+            scale, bias, mean, var = _BNParams(self.features, name="bn")()
+            mul = scale * jax.lax.rsqrt(var + self.eps)
+            add = bias - mean * mul
+            return conv3x3_bn_relu(
+                x.astype(self.dtype), w.astype(self.dtype), mul, add, self.relu
+            )
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
@@ -66,7 +128,7 @@ class ConvBNReLU(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = FrozenBatchNorm(dtype=self.dtype, name="bn")(x)
+        x = FrozenBatchNorm(dtype=self.dtype, eps=self.eps, name="bn")(x)
         if self.relu:
             x = nn.relu(x)
         return x
