@@ -74,6 +74,11 @@ def main():
     batch_size = args.batch_size or cfg.train.optim.batch_size_per_device * n_dev
     loader = Loader(ds, batch_size, seed=args.seed)
     steps_per_epoch = len(loader)
+    if steps_per_epoch == 0:
+        raise SystemExit(
+            f"global batch size {batch_size} exceeds dataset size {len(ds)} "
+            f"(pass --batch-size <= {len(ds)})"
+        )
     total_steps = steps_per_epoch * epochs
 
     mesh = make_mesh()

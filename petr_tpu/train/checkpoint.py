@@ -67,12 +67,13 @@ def restore_checkpoint(path: str, state: Any) -> Any:
 
 
 def load_params(path: str, params_like: Any) -> Any:
-    """Restore only params (load_from-style partial init)."""
+    """Restore only params (load_from-style partial init).
+
+    Restores without a template (orbax rejects item trees whose opt_state
+    slot is None), then maps onto ``params_like`` to validate structure.
+    """
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(
-            os.path.abspath(path),
-            {"params": params_like, "opt_state": None, "step": None},
-        )
-    return restored["params"]
+        restored = ckptr.restore(os.path.abspath(path))
+    return jax.tree.map(lambda _, s: np.asarray(s), params_like, restored["params"])
