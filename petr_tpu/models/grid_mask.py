@@ -2,7 +2,10 @@
 
 Behavioral reference: `models/utils/grid_mask.py` (sty61010/PETR) as invoked
 by the detector (`petr3d.py:65,86-87`): mode=1 (keep cells), ratio=0.5,
-rotation up to 90deg, prob 0.7, period d ~ U[2, h), offsets ~ U[0, d).
+prob 0.7, period d ~ randint[2, h), offsets ~ randint[0, d). Note the
+reference passes ``rotate=1`` => ``np.random.randint(1) == 0`` — the mask is
+NEVER rotated in the shipped recipe, so ``max_angle_deg`` defaults to 0 here
+(analytic rotation remains available behind the arg).
 
 The reference builds the mask with host NumPy + PIL rotate every step. Here
 the mask is evaluated analytically at rotated coordinates on the VPU: a pixel
@@ -25,7 +28,7 @@ def grid_mask(
     *,
     prob: float = 0.7,
     ratio: float = 0.5,
-    max_angle_deg: float = 90.0,
+    max_angle_deg: float = 0.0,
 ) -> jax.Array:
     B, N, H, W, _ = images.shape
     k_apply, k_d, k_off, k_ang = jax.random.split(rng, 4)

@@ -18,8 +18,15 @@ K = 10
 
 
 def main():
+    import dataclasses
+
     name = sys.argv[1] if len(sys.argv) > 1 else "petr_vov_p4_800x320"
     cfg = get_config(name)
+    if "--no-remat" in sys.argv:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, remat=False)
+        )
+        print("remat disabled", flush=True)
     N = cfg.data.num_views * cfg.data.num_frames
     H, W = cfg.data.image_size
     for B in (1, 2, 4, 8):
