@@ -23,6 +23,10 @@ def main():
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--train", action="store_true")
+    p.add_argument(
+        "--set", nargs="*", default=[], dest="overrides", metavar="KEY=VAL",
+        help="dotted config overrides, e.g. model.remat=False",
+    )
     args = p.parse_args()
 
     import sys
@@ -33,7 +37,7 @@ def main():
     from petr_tpu.models import PETRDetector
     from petr_tpu.train import create_train_state, make_train_step
 
-    cfg = get_config(args.config)
+    cfg = get_config(args.config, args.overrides)
     B = args.batch_size
     N = cfg.data.num_views * cfg.data.num_frames
     H, W = cfg.data.image_size

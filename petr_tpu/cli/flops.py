@@ -15,6 +15,10 @@ import sys
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="petr_vov_p4_800x320")
+    p.add_argument(
+        "--set", nargs="*", default=[], dest="overrides", metavar="KEY=VAL",
+        help="dotted config overrides",
+    )
     args = p.parse_args()
 
     import jax
@@ -24,7 +28,7 @@ def main():
     from petr_tpu.configs import get_config
     from petr_tpu.models import PETRDetector
 
-    cfg = get_config(args.config)
+    cfg = get_config(args.config, args.overrides)
     model = PETRDetector(cfg.model, deterministic=True)
     N = cfg.data.num_views * cfg.data.num_frames
     H, W = cfg.data.image_size

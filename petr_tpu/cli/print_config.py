@@ -14,6 +14,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default=None)
     p.add_argument("--list", action="store_true")
+    p.add_argument(
+        "--set", nargs="*", default=[], dest="overrides", metavar="KEY=VAL",
+        help="dotted config overrides, e.g. model.head.num_query=600",
+    )
     args = p.parse_args()
 
     from petr_tpu.configs import get_config, list_configs
@@ -22,7 +26,7 @@ def main():
         for name in list_configs():
             print(name)
         return
-    cfg = get_config(args.config)
+    cfg = get_config(args.config, args.overrides)
     print(json.dumps(dataclasses.asdict(cfg), indent=2, default=str))
 
 

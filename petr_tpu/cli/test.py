@@ -34,6 +34,10 @@ def parse_args():
         help="fold frozen BN into conv kernels before inference "
         "(reference tools/test.py --fuse-conv-bn)",
     )
+    p.add_argument(
+        "--set", nargs="*", default=[], dest="overrides", metavar="KEY=VAL",
+        help="dotted config overrides, e.g. max_det=500 model.use_flash_attention=False",
+    )
     return p.parse_args()
 
 
@@ -49,7 +53,7 @@ def main():
     from petr_tpu.train import create_train_state, make_eval_step
     from petr_tpu.train.checkpoint import load_params
 
-    cfg = get_config(args.config)
+    cfg = get_config(args.config, args.overrides)
     ds = NuScenesDataset.from_pkl(
         args.infos, cfg.data, training=False, data_root=args.data_root
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import time
 
 import jax
@@ -35,6 +36,10 @@ def parse_args():
     p.add_argument("--load-from", default=None, help="params-only checkpoint")
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--max-steps", type=int, default=None, help="debug cap")
+    p.add_argument(
+        "--set", nargs="*", default=[], dest="overrides", metavar="KEY=VAL",
+        help="dotted config overrides, e.g. model.remat=False train.optim.lr=1e-4",
+    )
     return p.parse_args()
 
 
@@ -64,7 +69,7 @@ def main():
         save_checkpoint,
     )
 
-    cfg = get_config(args.config)
+    cfg = get_config(args.config, args.overrides)
     epochs = args.epochs or cfg.train.optim.epochs
 
     ds = NuScenesDataset.from_pkl(
@@ -101,6 +106,20 @@ def main():
     train_step = make_train_step(cfg)
     rng = jax.random.PRNGKey(args.seed + 1)
 
+    # Preemption-safe shutdown: TPU-pod maintenance/preemption delivers
+    # SIGTERM. Finish the in-flight step, checkpoint, and exit 0 so the
+    # scheduler restarts with --resume. (Second signal falls through to the
+    # default handler so a stuck save can still be interrupted.)
+    preempted = []
+
+    def _on_signal(signum, frame):
+        preempted.append(signum)
+        signal.signal(signum, signal.SIG_DFL)
+        print(f"signal {signum} received; checkpointing at step boundary")
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
     with jax.set_mesh(mesh):
         state = replicate(state, mesh)
         step_fn = jax.jit(train_step, donate_argnums=(0,))
@@ -126,9 +145,12 @@ def main():
                     print(json.dumps({k: round(v, 4) if isinstance(v, float) else v for k, v in rec.items()}))
                     logf.write(json.dumps(rec) + "\n")
                     logf.flush()
-                if args.max_steps and step >= args.max_steps:
+                if preempted or (args.max_steps and step >= args.max_steps):
                     save_checkpoint(ckpt_base, step, jax.device_get(state),
                                     cfg.train.max_keep_ckpts, meta=ckpt_meta(cfg))
+                    if preempted:
+                        print(f"checkpoint saved at step {step}; exiting on "
+                              f"signal {preempted[0]} (resume with --resume)")
                     return
             save_checkpoint(ckpt_base, int(state.step), jax.device_get(state),
                             cfg.train.max_keep_ckpts, meta=ckpt_meta(cfg))

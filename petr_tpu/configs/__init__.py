@@ -6,6 +6,7 @@ from petr_tpu.configs.config import (
     OptimConfig,
     TrainConfig,
     ExperimentConfig,
+    apply_overrides,
     get_config,
     list_configs,
 )

@@ -234,8 +234,63 @@ _register(ExperimentConfig(
 ))
 
 
-def get_config(name: str) -> ExperimentConfig:
-    return _CONFIGS[name]
+def get_config(name: str, overrides: Optional[Sequence[str]] = None) -> ExperimentConfig:
+    cfg = _CONFIGS[name]
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg
+
+
+# --- dotted overrides (capability of mmcv `--cfg-options`, reference
+#     `tools/train.py:68-77`) -------------------------------------------------
+
+def apply_overrides(cfg, assignments: Sequence[str]):
+    """Apply `section.field=value` assignments to a (frozen) dataclass tree.
+
+    Values are parsed as Python literals when possible (`1e-4`, `(640,1600)`,
+    `True`, `None`), otherwise taken as bare strings (`vovnet`). Types are
+    coerced toward the field's current value (tuple-ness, float-ness, bools).
+    """
+    for a in assignments:
+        key, eq, raw = a.partition("=")
+        if not eq:
+            raise ValueError(f"override {a!r} is not of the form key=value")
+        cfg = _set_dotted(cfg, key.strip().split("."), raw.strip())
+    return cfg
+
+
+def _set_dotted(obj, path, raw):
+    import ast
+
+    name = path[0]
+    if not dataclasses.is_dataclass(obj):
+        raise KeyError(f"{name!r}: parent is not a config section")
+    if name not in {f.name for f in dataclasses.fields(obj)}:
+        valid = ", ".join(sorted(f.name for f in dataclasses.fields(obj)))
+        raise KeyError(f"unknown config field {name!r} (valid: {valid})")
+    cur = getattr(obj, name)
+    if len(path) == 1:
+        try:
+            val = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            val = raw  # bare string
+        if isinstance(cur, bool):
+            val = val.lower() in ("1", "true", "yes") if isinstance(val, str) else bool(val)
+        elif isinstance(cur, tuple) and isinstance(val, (list, tuple)):
+            val = tuple(val)
+        elif isinstance(cur, float) and isinstance(val, int):
+            val = float(val)
+        elif cur is not None and not isinstance(val, type(cur)) and not (
+            isinstance(cur, (int, float)) and isinstance(val, (int, float))
+        ):
+            raise TypeError(
+                f"override {name}={raw!r}: expected {type(cur).__name__}, "
+                f"got {type(val).__name__}"
+            )
+        new = val
+    else:
+        new = _set_dotted(cur, path[1:], raw)
+    return dataclasses.replace(obj, **{name: new})
 
 
 def list_configs() -> Sequence[str]:
