@@ -27,6 +27,11 @@ def main():
         "--set", nargs="*", default=[], dest="overrides", metavar="KEY=VAL",
         help="dotted config overrides, e.g. model.remat=False",
     )
+    p.add_argument(
+        "--quant-scales", default=None, metavar="NPZ",
+        help="int8 PTQ: activation-scale .npz from petr_tpu.cli.quantize "
+        "(forces model.backbone.quant=int8; inference mode only)",
+    )
     args = p.parse_args()
 
     import sys
@@ -62,14 +67,29 @@ def main():
             return float(m["loss"])
 
     else:
-        model = PETRDetector(cfg.model, deterministic=True)
+        import dataclasses
+
+        quant_scales = None
+        model_cfg = cfg.model
+        if args.quant_scales:
+            from petr_tpu.quant import load_scales
+
+            quant_scales = load_scales(args.quant_scales)
+            model_cfg = dataclasses.replace(
+                cfg.model,
+                backbone=dataclasses.replace(cfg.model.backbone, quant="int8"),
+            )
+        model = PETRDetector(model_cfg, deterministic=True)
         variables = model.init(
             jax.random.PRNGKey(0), batch["images"], batch["img2lidar"], batch["img_hw"],
             timestamp=batch.get("timestamp"),
         )
         def fwd_fn(p, b):
+            v = {"params": p}
+            if quant_scales is not None:
+                v["quant"] = quant_scales
             out = model.apply(
-                {"params": p}, b["images"], b["img2lidar"], b["img_hw"],
+                v, b["images"], b["img2lidar"], b["img_hw"],
                 timestamp=b.get("timestamp"),
             )
             return out["cls_logits"].sum()

@@ -38,6 +38,10 @@ def parse_args():
         "--set", nargs="*", default=[], dest="overrides", metavar="KEY=VAL",
         help="dotted config overrides, e.g. max_det=500 model.use_flash_attention=False",
     )
+    p.add_argument(
+        "--quant-scales", default=None, metavar="NPZ",
+        help="int8 PTQ serving: activation-scale .npz from petr_tpu.cli.quantize",
+    )
     return p.parse_args()
 
 
@@ -72,7 +76,21 @@ def main():
 
         params = jax.tree.map(jnp.asarray, fold_frozen_bn(params))
 
-    eval_step = jax.jit(make_eval_step(cfg))
+    if args.quant_scales:
+        import dataclasses
+
+        from petr_tpu.quant import load_scales
+
+        qcfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                backbone=dataclasses.replace(cfg.model.backbone, quant="int8"),
+            ),
+        )
+        eval_step = jax.jit(make_eval_step(qcfg, load_scales(args.quant_scales)))
+    else:
+        eval_step = jax.jit(make_eval_step(cfg))
 
     preds, gts = {}, {}
     t0 = time.time()

@@ -33,6 +33,10 @@ class BackboneConfig:
     # configs use plain nn.BatchNorm2d (affine trains; only stats are frozen
     # via norm_eval, vovnetcp.py:406-413).
     train_bn_affine: bool = True
+    # Post-training quantization of the backbone convs (serving only):
+    # "none" | "calib" (record activation ranges) | "int8" (quantized convs,
+    # int32 MXU accumulation). VoVNet only; see petr_tpu/quant.
+    quant: str = "none"
 
 
 @dataclasses.dataclass(frozen=True)

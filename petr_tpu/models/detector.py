@@ -66,9 +66,14 @@ class PETRDetector(nn.Module):
                 out_indices=cfg.backbone.out_indices,
                 remat=cfg.remat,
                 dtype=dtype,
+                quant=cfg.backbone.quant,
                 name="backbone",
             )(x)
         elif cfg.backbone.kind == "resnet":
+            if cfg.backbone.quant != "none":
+                raise NotImplementedError(
+                    "backbone.quant is only supported for the VoVNet backbone"
+                )
             depth = int(cfg.backbone.spec[1:])
             feats = ResNet(
                 depth=depth,

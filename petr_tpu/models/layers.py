@@ -81,6 +81,18 @@ class ConvBNReLU(nn.Module):
     option and a base for shapes where XLA regresses. The parameter tree
     (conv/kernel + bn/{scale,bias,mean,var}) is identical on both paths, so
     checkpoints and the torch importer are unaffected.
+
+    Post-training int8 quantization (serving): ``quant`` selects
+      * "none"  — normal bf16/f32 path.
+      * "calib" — normal numerics, additionally records the running max-abs
+                  of the conv input in the "quant" collection
+                  (apply with ``mutable=["quant"]``; see petr_tpu/quant).
+      * "int8"  — symmetric per-output-channel weight quant (BN scale folded
+                  into the weight first) x per-tensor activation quant from
+                  the calibrated amax; int8 conv with int32 accumulation on
+                  the MXU, dequant + BN shift + ReLU in the epilogue.
+    The param tree is identical in all modes; scales live in the separate
+    "quant" collection so checkpoints are unaffected.
     """
 
     features: int
@@ -90,6 +102,7 @@ class ConvBNReLU(nn.Module):
     groups: int = 1
     dtype: Dtype = jnp.float32
     eps: float = 1e-5
+    quant: str = "none"
 
     def _use_pallas(self, x_shape) -> bool:
         import os
@@ -106,8 +119,45 @@ class ConvBNReLU(nn.Module):
             and conv3x3_supported(tuple(x_shape), self.stride, self.groups)
         )
 
+    def _int8_forward(self, x: jax.Array, amax: jax.Array) -> jax.Array:
+        w = _ConvKernel(
+            (self.kernel, self.kernel, x.shape[-1] // self.groups, self.features),
+            name="conv",
+        )()
+        scale, bias, mean, var = _BNParams(self.features, name="bn")()
+        mul = scale * jax.lax.rsqrt(var + self.eps)
+        add = bias - mean * mul
+        wf = w * mul  # fold BN scale into the kernel (per output channel)
+        sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-12) / 127.0
+        wi = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+        sa = jnp.maximum(amax, 1e-6) / 127.0
+        xi = jnp.clip(jnp.round(x.astype(jnp.float32) / sa), -127.0, 127.0).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xi,
+            wi,
+            (self.stride, self.stride),
+            [(self.kernel // 2, self.kernel // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (sa * sw) + add
+        if self.relu:
+            y = jnp.maximum(y, 0.0)
+        return y.astype(self.dtype)
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.quant in ("calib", "int8"):
+            amax = self.variable(
+                "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+            )
+            if self.quant == "int8":
+                return self._int8_forward(x, amax.value)
+            if not self.is_initializing():
+                amax.value = jnp.maximum(
+                    amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
+                )
         if self._use_pallas(x.shape):
             from petr_tpu.ops.pallas.conv3x3 import conv3x3_bn_relu
 

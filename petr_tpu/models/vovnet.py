@@ -77,16 +77,21 @@ class OSABlock(nn.Module):
     identity: bool = False
     use_ese: bool = True
     dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         feats = [x]
         y = x
         for i in range(self.layer_per_block):
-            y = ConvBNReLU(self.stage_ch, 3, dtype=self.dtype, name=f"conv{i}")(y)
+            y = ConvBNReLU(
+                self.stage_ch, 3, dtype=self.dtype, quant=self.quant, name=f"conv{i}"
+            )(y)
             feats.append(y)
         y = jnp.concatenate(feats, axis=-1)
-        y = ConvBNReLU(self.concat_ch, 1, dtype=self.dtype, name="concat")(y)
+        y = ConvBNReLU(
+            self.concat_ch, 1, dtype=self.dtype, quant=self.quant, name="concat"
+        )(y)
         if self.use_ese:
             y = ESE(self.concat_ch, dtype=self.dtype, name="ese")(y)
         if self.identity:
@@ -102,14 +107,15 @@ class VoVNet(nn.Module):
     out_indices: Sequence[int] = (2, 3)
     remat: bool = True
     dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, ...]:
         spec = SPECS[self.spec]
         s0, s1, s2 = spec["stem"]
-        x = ConvBNReLU(s0, 3, 2, dtype=self.dtype, name="stem1")(x)
-        x = ConvBNReLU(s1, 3, 1, dtype=self.dtype, name="stem2")(x)
-        x = ConvBNReLU(s2, 3, 2, dtype=self.dtype, name="stem3")(x)
+        x = ConvBNReLU(s0, 3, 2, dtype=self.dtype, quant=self.quant, name="stem1")(x)
+        x = ConvBNReLU(s1, 3, 1, dtype=self.dtype, quant=self.quant, name="stem2")(x)
+        x = ConvBNReLU(s2, 3, 2, dtype=self.dtype, quant=self.quant, name="stem3")(x)
 
         Block = nn.remat(OSABlock) if self.remat else OSABlock
         outs = []
@@ -125,6 +131,7 @@ class VoVNet(nn.Module):
                     b > 0,  # identity on non-first blocks
                     spec["eSE"],
                     self.dtype,
+                    self.quant,
                     name=f"stage{stage + 2}_block{b}",
                 )(x)
             if stage in self.out_indices:

@@ -123,7 +123,10 @@ def make_train_step(cfg: ExperimentConfig, axis_name: Optional[str] = None):
     return train_step
 
 
-def make_eval_step(cfg: ExperimentConfig):
+def make_eval_step(cfg: ExperimentConfig, quant_scales=None):
+    """Jittable decode step. ``quant_scales``: a "quant" collection (from
+    petr_tpu.quant.calibrate_detector) enabling the int8 PTQ backbone —
+    cfg.model.backbone.quant must be "int8" in that case."""
     model = PETRDetector(cfg.model, deterministic=True)
 
     def eval_step(params, batch: Dict[str, jax.Array]):
@@ -135,8 +138,11 @@ def make_eval_step(cfg: ExperimentConfig):
                 gt_boxes=batch["gt_boxes"], gt_valid=batch["gt_valid"],
                 lidar2img=batch["lidar2img"],
             )
+        variables = {"params": params}
+        if quant_scales is not None:
+            variables["quant"] = quant_scales
         outputs = model.apply(
-            {"params": params},
+            variables,
             batch["images"],
             batch["img2lidar"],
             batch["img_hw"],
