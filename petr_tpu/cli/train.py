@@ -40,6 +40,11 @@ def parse_args():
         "--set", nargs="*", default=[], dest="overrides", metavar="KEY=VAL",
         help="dotted config overrides, e.g. model.remat=False train.optim.lr=1e-4",
     )
+    p.add_argument(
+        "--tensorboard", action="store_true",
+        help="mirror scalar metrics to <work-dir>/tb (reference parity: the "
+        "mmcv TensorboardLoggerHook, requirements.txt:10)",
+    )
     return p.parse_args()
 
 
@@ -102,6 +107,14 @@ def main():
 
     os.makedirs(args.work_dir, exist_ok=True)
     logf = open(os.path.join(args.work_dir, "train_log.jsonl"), "a")
+    tb_writer = None
+    if args.tensorboard:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb_writer = SummaryWriter(os.path.join(args.work_dir, "tb"))
+        except ImportError:
+            print("tensorboard unavailable; scalar logging stays JSON-only")
 
     train_step = make_train_step(cfg)
     rng = jax.random.PRNGKey(args.seed + 1)
@@ -145,6 +158,10 @@ def main():
                     print(json.dumps({k: round(v, 4) if isinstance(v, float) else v for k, v in rec.items()}))
                     logf.write(json.dumps(rec) + "\n")
                     logf.flush()
+                    if tb_writer is not None:
+                        for k, v in rec.items():
+                            if k != "step" and isinstance(v, (int, float)):
+                                tb_writer.add_scalar(k, v, global_step=step)
                 if preempted or (args.max_steps and step >= args.max_steps):
                     save_checkpoint(ckpt_base, step, jax.device_get(state),
                                     cfg.train.max_keep_ckpts, meta=ckpt_meta(cfg))

@@ -25,6 +25,119 @@ from petr_tpu.models.resnet import ResNet
 from petr_tpu.models.vovnet import VoVNet
 
 
+def _backbone_neck_feature(cfg: ModelConfig, images: jax.Array, dtype) -> jax.Array:
+    """Backbone + neck, returning the head-level feature map (B, N, fh, fw, fc).
+
+    Must run inside an ``nn.compact`` ``__call__``. Submodule names are fixed
+    ("backbone", "neck") so every module built on this helper — the full
+    ``PETRDetector`` and the ``PETRFeatureNet`` slice — shares one param tree.
+    """
+    B, N, H, W, C = images.shape
+    x = images.reshape(B * N, H, W, C).astype(dtype)
+
+    if cfg.backbone.kind == "vovnet":
+        feats = VoVNet(
+            spec=cfg.backbone.spec,
+            out_indices=cfg.backbone.out_indices,
+            remat=cfg.remat,
+            dtype=dtype,
+            quant=cfg.backbone.quant,
+            name="backbone",
+        )(x)
+    elif cfg.backbone.kind == "resnet":
+        if cfg.backbone.quant != "none":
+            raise NotImplementedError(
+                "backbone.quant is only supported for the VoVNet backbone"
+            )
+        depth = int(cfg.backbone.spec[1:])
+        feats = ResNet(
+            depth=depth,
+            out_indices=cfg.backbone.out_indices,
+            dcn_stages=cfg.backbone.dcn_stages,
+            remat_stages=cfg.remat,
+            dtype=dtype,
+            name="backbone",
+        )(x)
+    else:
+        raise ValueError(cfg.backbone.kind)
+
+    if cfg.backbone.with_fpn:
+        feats = CPFPN(
+            out_channels=cfg.backbone.fpn_out_channels,
+            num_outs=cfg.backbone.fpn_num_outs,
+            dtype=dtype,
+            name="neck",
+        )(feats)
+
+    f = feats[cfg.head_feat_level]
+    fh, fw, fc = f.shape[-3:]
+    return f.reshape(B, N, fh, fw, fc)
+
+
+def _apply_head(
+    cfg: ModelConfig,
+    f: jax.Array,  # (B, N, fh, fw, fc)
+    img2lidar: jax.Array,
+    img_hw: jax.Array,
+    input_hw: Tuple[int, int],
+    deterministic: bool,
+    dtype,
+    *,
+    timestamp: Optional[jax.Array] = None,
+    gt_boxes: Optional[jax.Array] = None,
+    gt_valid: Optional[jax.Array] = None,
+    lidar2img: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    """Construct and call the configured head (submodule name "head").
+
+    Must run inside an ``nn.compact`` ``__call__``; shared between
+    ``PETRDetector`` and the ``PETRHeadNet`` slice.
+    """
+    hcfg = cfg.head
+    head_kwargs = dict(
+        num_classes=hcfg.num_classes,
+        in_channels=f.shape[-1],
+        embed_dim=hcfg.embed_dim,
+        num_query=hcfg.num_query,
+        num_layers=hcfg.num_layers,
+        num_heads=hcfg.num_heads,
+        ffn_dim=hcfg.ffn_dim,
+        code_size=hcfg.code_size,
+        depth_num=hcfg.depth_num,
+        depth_start=hcfg.depth_start,
+        depth_mode=hcfg.depth_mode,
+        with_multiview=hcfg.with_multiview,
+        position_range=tuple(hcfg.position_range),
+        pc_range=tuple(hcfg.pc_range),
+        dropout_rate=hcfg.dropout_rate,
+        shared_branches=hcfg.shared_branches,
+        deterministic=deterministic,
+        remat=cfg.remat,
+        use_flash=cfg.use_flash_attention,
+        dtype=dtype,
+        name="head",
+    )
+    kind = getattr(hcfg, "kind", "petr")
+    if kind == "petrv2" or hcfg.with_fpe or hcfg.with_time or hcfg.with_multi_reg:
+        return PETRv2Head(
+            with_fpe=hcfg.with_fpe,
+            with_time=hcfg.with_time,
+            with_multi_reg=hcfg.with_multi_reg,
+            **head_kwargs,
+        )(f, img2lidar, img_hw, input_hw, timestamp=timestamp)
+    if kind == "depthr":
+        from petr_tpu.models.depthr_head import DepthrHead
+
+        assert gt_boxes is not None and lidar2img is not None, (
+            "Depthr (GT-depth oracle) needs gt_boxes/gt_valid/lidar2img"
+        )
+        return DepthrHead(**head_kwargs)(
+            f, img2lidar, img_hw, input_hw,
+            gt_boxes=gt_boxes, gt_valid=gt_valid, lidar2img=lidar2img,
+        )
+    return PETRHead(**head_kwargs)(f, img2lidar, img_hw, input_hw)
+
+
 class PETRDetector(nn.Module):
     config: ModelConfig
     deterministic: bool = True
@@ -58,91 +171,68 @@ class PETRDetector(nn.Module):
             images = grid_mask(grid_mask_rng, images)
 
         B = B_eff
-        x = images.reshape(B * N, H, W, C).astype(dtype)
-
-        if cfg.backbone.kind == "vovnet":
-            feats = VoVNet(
-                spec=cfg.backbone.spec,
-                out_indices=cfg.backbone.out_indices,
-                remat=cfg.remat,
-                dtype=dtype,
-                quant=cfg.backbone.quant,
-                name="backbone",
-            )(x)
-        elif cfg.backbone.kind == "resnet":
-            if cfg.backbone.quant != "none":
-                raise NotImplementedError(
-                    "backbone.quant is only supported for the VoVNet backbone"
-                )
-            depth = int(cfg.backbone.spec[1:])
-            feats = ResNet(
-                depth=depth,
-                out_indices=cfg.backbone.out_indices,
-                dcn_stages=cfg.backbone.dcn_stages,
-                remat_stages=cfg.remat,
-                dtype=dtype,
-                name="backbone",
-            )(x)
-        else:
-            raise ValueError(cfg.backbone.kind)
-
-        if cfg.backbone.with_fpn:
-            feats = CPFPN(
-                out_channels=cfg.backbone.fpn_out_channels,
-                num_outs=cfg.backbone.fpn_num_outs,
-                dtype=dtype,
-                name="neck",
-            )(feats)
-
-        lvl = cfg.head_feat_level
-        f = feats[lvl]
-        fh, fw, fc = f.shape[-3:]
-        f = f.reshape(B, N, fh, fw, fc)
+        f = _backbone_neck_feature(cfg, images, dtype)
         if num_aug > 1:
             # TTA: mean of extracted features over aug variants
+            fh, fw, fc = f.shape[-3:]
             B = B // num_aug
             f = f.reshape(B, num_aug, N, fh, fw, fc).mean(axis=1)
 
-        hcfg = cfg.head
-        head_kwargs = dict(
-            num_classes=hcfg.num_classes,
-            in_channels=fc,
-            embed_dim=hcfg.embed_dim,
-            num_query=hcfg.num_query,
-            num_layers=hcfg.num_layers,
-            num_heads=hcfg.num_heads,
-            ffn_dim=hcfg.ffn_dim,
-            code_size=hcfg.code_size,
-            depth_num=hcfg.depth_num,
-            depth_start=hcfg.depth_start,
-            depth_mode=hcfg.depth_mode,
-            with_multiview=hcfg.with_multiview,
-            position_range=tuple(hcfg.position_range),
-            pc_range=tuple(hcfg.pc_range),
-            dropout_rate=hcfg.dropout_rate,
-            shared_branches=hcfg.shared_branches,
-            deterministic=self.deterministic,
-            remat=cfg.remat,
-            use_flash=cfg.use_flash_attention,
-            dtype=dtype,
-            name="head",
+        return _apply_head(
+            cfg, f, img2lidar, img_hw, (H, W), self.deterministic, dtype,
+            timestamp=timestamp, gt_boxes=gt_boxes, gt_valid=gt_valid,
+            lidar2img=lidar2img,
         )
-        kind = getattr(hcfg, "kind", "petr")
-        if kind == "petrv2" or hcfg.with_fpe or hcfg.with_time or hcfg.with_multi_reg:
-            return PETRv2Head(
-                with_fpe=hcfg.with_fpe,
-                with_time=hcfg.with_time,
-                with_multi_reg=hcfg.with_multi_reg,
-                **head_kwargs,
-            )(f, img2lidar, img_hw, (H, W), timestamp=timestamp)
-        if kind == "depthr":
-            from petr_tpu.models.depthr_head import DepthrHead
 
-            assert gt_boxes is not None and lidar2img is not None, (
-                "Depthr (GT-depth oracle) needs gt_boxes/gt_valid/lidar2img"
-            )
-            return DepthrHead(**head_kwargs)(
-                f, img2lidar, img_hw, (H, W),
-                gt_boxes=gt_boxes, gt_valid=gt_valid, lidar2img=lidar2img,
-            )
-        return PETRHead(**head_kwargs)(f, img2lidar, img_hw, (H, W))
+
+class PETRFeatureNet(nn.Module):
+    """Backbone+neck slice of ``PETRDetector``.
+
+    Emits the head-level per-view feature map from images alone. Param tree is
+    the "backbone"/"neck" subtree of ``PETRDetector`` — full-detector params
+    apply directly (flax ignores the unused "head" subtree). Used by the
+    streaming PETRv2 runtime (`petr_tpu.serve.streaming`), which caches the
+    previous frame's features instead of re-running the backbone on 12 views
+    (the reference recomputes all 12 every sample, `petr3d.py:84-85` +
+    `loading.py:45-118`).
+    """
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:  # (B, N, H, W, 3)
+        return _backbone_neck_feature(
+            self.config, images, jnp.dtype(self.config.compute_dtype)
+        )
+
+
+class PETRHeadNet(nn.Module):
+    """Head slice of ``PETRDetector`` over precomputed features.
+
+    ``input_hw`` is the static pre-backbone image (H, W) the features were
+    extracted from (the head needs it for padding masks and PE stride).
+    Param tree is the "head" subtree of ``PETRDetector``.
+    """
+
+    config: ModelConfig
+    input_hw: Tuple[int, int]
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jax.Array,  # (B, N, fh, fw, fc)
+        img2lidar: jax.Array,
+        img_hw: jax.Array,
+        *,
+        timestamp: Optional[jax.Array] = None,
+        gt_boxes: Optional[jax.Array] = None,
+        gt_valid: Optional[jax.Array] = None,
+        lidar2img: Optional[jax.Array] = None,
+    ) -> Dict[str, jax.Array]:
+        return _apply_head(
+            self.config, feats, img2lidar, img_hw, tuple(self.input_hw),
+            self.deterministic, jnp.dtype(self.config.compute_dtype),
+            timestamp=timestamp, gt_boxes=gt_boxes, gt_valid=gt_valid,
+            lidar2img=lidar2img,
+        )

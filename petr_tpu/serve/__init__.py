@@ -16,6 +16,7 @@ from petr_tpu.serve.export import (
     serving_input_spec,
 )
 from petr_tpu.serve.server import InferenceServer
+from petr_tpu.serve.streaming import StreamingPETRv2, self_padded_timestamp
 
 __all__ = [
     "export_serving",
@@ -24,4 +25,6 @@ __all__ = [
     "save_artifact",
     "serving_input_spec",
     "InferenceServer",
+    "StreamingPETRv2",
+    "self_padded_timestamp",
 ]

@@ -33,12 +33,15 @@ def test_train_then_eval_cli(tmp_path, monkeypatch, capsys):
         sys, "argv",
         ["train", "--config", "tiny_debug", "--infos", str(pkl),
          "--work-dir", str(work), "--max-steps", "2", "--log-every", "1",
-         "--batch-size", "2"],
+         "--batch-size", "2", "--tensorboard"],
     )
     train_cli.main()
     ckpts = sorted(os.listdir(work / "ckpts"))
     assert ckpts, "no checkpoint written"
     assert (work / "train_log.jsonl").exists()
+    tb_dir = work / "tb"
+    if tb_dir.exists():  # tensorboard is optional; when present, events land
+        assert any(f.startswith("events") for f in os.listdir(tb_dir))
     meta = json.load(open(work / "ckpts" / ckpts[-1] / "meta.json"))
     assert meta["config"]["name"] == "tiny_debug"
 

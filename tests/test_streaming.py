@@ -1,0 +1,159 @@
+"""Streaming PETRv2 (feature-cached) vs the full 12-view forward (CPU).
+
+The streaming runtime must be exact: caching the previous frame's
+backbone+neck features and recomputing only the head must reproduce the full
+detector forward on the concatenated 12-view input bit-for-math (same params,
+same ops — only the backbone batch grouping differs).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from petr_tpu.models import PETRDetector
+from petr_tpu.models.detector import PETRFeatureNet, PETRHeadNet
+from petr_tpu.serve import StreamingPETRv2, self_padded_timestamp
+from tests.test_petrv2_e2e import v2_tiny_config
+
+
+def _frame(rng, B, N, H, W):
+    images = rng.standard_normal((B, N, H, W, 3)).astype(np.float32)
+    # plausible img2lidar: identity-ish with jitter, well-conditioned
+    i2l = np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1))
+    i2l[..., :3, 3] = rng.uniform(-2, 2, (B, N, 3))
+    img_hw = np.tile(np.array([H, W], np.float32), (B, N, 1))
+    return images, i2l, img_hw
+
+
+def test_streaming_matches_full_forward():
+    cfg = v2_tiny_config()
+    H, W = cfg.data.image_size
+    B, N = 1, 6
+    rng = np.random.default_rng(0)
+
+    img_a, i2l_a, hw_a = _frame(rng, B, N, H, W)
+    img_b, i2l_b, hw_b = _frame(rng, B, N, H, W)
+
+    # 12-view composites, current frame first (data layer convention)
+    images12 = np.concatenate([img_b, img_a], axis=1)
+    i2l12 = np.concatenate([i2l_b, i2l_a], axis=1)
+    hw12 = np.concatenate([hw_b, hw_a], axis=1)
+    ts12 = np.concatenate(
+        [np.zeros((B, N), np.float32), np.full((B, N), 0.5, np.float32)], axis=1
+    )
+
+    model = PETRDetector(cfg.model, deterministic=True)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(images12),
+        jnp.asarray(i2l12),
+        jnp.asarray(hw12),
+        timestamp=jnp.asarray(ts12),
+    )["params"]
+
+    full = model.apply(
+        {"params": params},
+        jnp.asarray(images12),
+        jnp.asarray(i2l12),
+        jnp.asarray(hw12),
+        timestamp=jnp.asarray(ts12),
+    )
+
+    s = StreamingPETRv2(cfg, params, decode=False)
+    # frame 0: self-padded prev
+    ts0 = self_padded_timestamp(np.zeros((B, N), np.float32))
+    s.step(img_a, np.concatenate([i2l_a, i2l_a], 1), np.concatenate([hw_a, hw_a], 1), ts0)
+    # frame 1: cached features of frame 0 stand in for the prev views
+    out = s.step(img_b, i2l12, hw12, ts12)
+
+    np.testing.assert_allclose(
+        np.asarray(out["cls_logits"]), np.asarray(full["cls_logits"]),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["bbox_codes"]), np.asarray(full["bbox_codes"]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_streaming_first_frame_and_reset():
+    cfg = v2_tiny_config()
+    H, W = cfg.data.image_size
+    B, N = 1, 6
+    rng = np.random.default_rng(1)
+    img, i2l, hw = _frame(rng, B, N, H, W)
+    i2l12 = np.concatenate([i2l, i2l], axis=1)
+    hw12 = np.concatenate([hw, hw], axis=1)
+    ts12 = self_padded_timestamp(np.zeros((B, N), np.float32))
+
+    model = PETRDetector(cfg.model, deterministic=True)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, 2 * N, H, W, 3)),
+        jnp.asarray(i2l12),
+        jnp.asarray(hw12),
+        timestamp=jnp.asarray(ts12),
+    )["params"]
+
+    s = StreamingPETRv2(cfg, params, decode=True)
+    det = s.step(img, i2l12, hw12, ts12)
+    assert np.isfinite(np.asarray(det["boxes"])).all()
+    assert s._prev_feats is not None
+    s.reset()
+    assert s._prev_feats is None
+    # wrong view count is rejected
+    with pytest.raises(ValueError):
+        s.step(np.zeros((B, 12, H, W, 3), np.float32), i2l12, hw12, ts12)
+
+
+def test_align_prev_lidar2img_projects_static_points_identically():
+    """A world-fixed point projects to the same pixel through the prev-frame
+    lidar2img whether addressed in prev-lidar coords (offline info path) or in
+    current-lidar coords through the aligned matrix (streaming path)."""
+    from petr_tpu.serve.streaming import align_prev_lidar2img, lidar2global
+
+    rng = np.random.default_rng(3)
+
+    def rand_pose():
+        a = rng.uniform(-np.pi, np.pi)
+        R = np.array(
+            [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1]]
+        )
+        return R, rng.uniform(-10, 10, 3)
+
+    prev_l2g = lidar2global(*rand_pose(), *rand_pose())
+    cur_l2g = lidar2global(*rand_pose(), *rand_pose())
+    prev_l2i = rng.standard_normal((2, 4, 4))  # arbitrary projective maps
+
+    p_global = np.append(rng.uniform(-5, 5, 3), 1.0)
+    p_prev = np.linalg.inv(prev_l2g) @ p_global
+    p_cur = np.linalg.inv(cur_l2g) @ p_global
+
+    aligned = align_prev_lidar2img(prev_l2i, prev_l2g, cur_l2g)
+    np.testing.assert_allclose(aligned @ p_cur, prev_l2i @ p_prev, atol=1e-9)
+
+
+def test_feature_and_head_slices_share_detector_params():
+    """PETRFeatureNet/PETRHeadNet param trees are subtrees of PETRDetector's."""
+    cfg = v2_tiny_config()
+    H, W = cfg.data.image_size
+    B, N = 1, 12
+    images = jnp.zeros((B, N, H, W, 3))
+    i2l = jnp.tile(jnp.eye(4), (B, N, 1, 1))
+    hw = jnp.tile(jnp.asarray([H, W], jnp.float32), (B, N, 1))
+    ts = jnp.zeros((B, N))
+
+    det_params = PETRDetector(cfg.model).init(
+        jax.random.PRNGKey(0), images, i2l, hw, timestamp=ts
+    )["params"]
+    feat_params = PETRFeatureNet(cfg.model).init(jax.random.PRNGKey(0), images)["params"]
+    feats = PETRFeatureNet(cfg.model).apply({"params": det_params}, images)
+    head_params = PETRHeadNet(cfg.model, (H, W)).init(
+        jax.random.PRNGKey(0), feats, i2l, hw, timestamp=ts
+    )["params"]
+
+    det_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_leaves_with_path(det_params)}
+    for sub in (feat_params, head_params):
+        for p, _ in jax.tree_util.tree_leaves_with_path(sub):
+            assert jax.tree_util.keystr(p) in det_paths

@@ -1,0 +1,109 @@
+"""Streaming PETRv2 (feature-cached) vs full 12-view forward on the real chip.
+
+The streaming runtime (`petr_tpu/serve/streaming.py`) runs the backbone on 6
+new views per frame and reuses the cached previous-frame features; the full
+path recomputes all 12 (the reference protocol). Same RTT-amortized scan
+protocol as `bench.py`: the streaming step is one jitted function whose
+prev-features carry flows through the scan, exactly like a deployed
+per-frame loop.
+
+Prints one JSON line per mode.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+import __graft_entry__ as ge
+from petr_tpu.configs import get_config
+from petr_tpu.models import PETRDetector
+from petr_tpu.models.detector import PETRFeatureNet, PETRHeadNet
+
+SCAN_LEN = 20
+CONFIG = "petrv2_vov_p4_800x320"
+
+
+def timed_chain(chain_fn, *args, iters=5):
+    jfn = jax.jit(chain_fn)
+    float(jfn(*args))
+    float(jfn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(jfn(*args))
+    return (time.perf_counter() - t0) / (iters * SCAN_LEN)
+
+
+def main():
+    cfg = get_config(CONFIG)
+    B = 1
+    N6 = cfg.data.num_views
+    H, W = cfg.data.image_size
+    batch = ge._batch(B, 2 * N6, H, W, cfg.data.max_gt, with_ts=True)
+
+    model = PETRDetector(cfg.model, deterministic=True)
+    params = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["img2lidar"],
+        batch["img_hw"], timestamp=batch["timestamp"],
+    )["params"]
+
+    # --- full 12-view forward (reference per-sample protocol) ---------------
+    def full_chain(params, images, i2l, hw, ts):
+        def body(carry, _):
+            out = model.apply(
+                {"params": params}, images + carry * 1e-12, i2l, hw, timestamp=ts
+            )
+            return out["cls_logits"].sum().astype(jnp.float32), None
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=SCAN_LEN)
+        return carry
+
+    dt_full = timed_chain(
+        full_chain, params, batch["images"], batch["img2lidar"],
+        batch["img_hw"], batch["timestamp"],
+    )
+    print(json.dumps({
+        "metric": "petrv2_full_12view_inference",
+        "value": round(1.0 / dt_full, 2), "unit": "samples/s/chip",
+        "ms_per_sample": round(dt_full * 1e3, 2),
+    }), flush=True)
+
+    # --- streaming: 6-view backbone + cached prev features ------------------
+    feature_net = PETRFeatureNet(cfg.model)
+    head_net = PETRHeadNet(cfg.model, (H, W), deterministic=True)
+    images6 = batch["images"][:, :N6]
+    feats0 = feature_net.apply({"params": params}, images6)
+
+    def stream_chain(params, images6, prev0, i2l, hw, ts):
+        def body(carry, _):
+            prev, acc = carry
+            cur = feature_net.apply(
+                {"params": params}, images6 + acc * 1e-12
+            )
+            feats = jnp.concatenate([cur, prev], axis=1)
+            out = head_net.apply({"params": params}, feats, i2l, hw, timestamp=ts)
+            return (cur, out["cls_logits"].sum().astype(jnp.float32)), None
+
+        (_, acc), _ = jax.lax.scan(
+            body, (prev0, jnp.float32(0)), None, length=SCAN_LEN
+        )
+        return acc
+
+    dt_stream = timed_chain(
+        stream_chain, params, images6, feats0, batch["img2lidar"],
+        batch["img_hw"], batch["timestamp"],
+    )
+    print(json.dumps({
+        "metric": "petrv2_streaming_inference",
+        "value": round(1.0 / dt_stream, 2), "unit": "frames/s/chip",
+        "ms_per_frame": round(dt_stream * 1e3, 2),
+        "speedup_vs_full": round(dt_full / dt_stream, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
