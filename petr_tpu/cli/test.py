@@ -42,7 +42,55 @@ def parse_args():
         "--quant-scales", default=None, metavar="NPZ",
         help="int8 PTQ serving: activation-scale .npz from petr_tpu.cli.quantize",
     )
+    p.add_argument(
+        "--streaming", action="store_true",
+        help="PETRv2 streaming eval: scene-ordered, backbone on the 6 new "
+        "views per frame, previous-frame features cached "
+        "(petr_tpu.serve.StreamingPETRv2). The previous frame is the actual "
+        "previous keyframe instead of the offline mid-sweep pick.",
+    )
     return p.parse_args()
+
+
+def run_streaming_inference(cfg, params, ds):
+    """Scene-ordered streaming inference over the val infos.
+
+    Uses each sample's own ego-aligned sweep record for the previous
+    keyframe's matrices (`NuScenesDataset.streaming_sample`); the feature
+    cache resets at scene boundaries (detected by sweep-path mismatch).
+    """
+    from petr_tpu.metrics.nuscenes import boxes_from_arrays
+    from petr_tpu.serve import StreamingPETRv2
+
+    if cfg.data.num_frames < 2:
+        raise SystemExit("--streaming needs a 2-frame (petrv2) config")
+    order = list(range(len(ds.infos)))
+    if ds.infos and "scene_token" in ds.infos[0]:
+        order.sort(key=lambda i: (
+            str(ds.infos[i]["scene_token"]), float(ds.infos[i]["timestamp"])))
+    runner = StreamingPETRv2(cfg, params, decode=True)
+    preds = {}
+    prev_info = None
+    t0 = time.time()
+    n_cached = 0
+    for i in order:
+        smp = ds.streaming_sample(i, prev_info)
+        if not smp["cached"]:
+            runner.reset()
+        else:
+            n_cached += 1
+        det = jax.device_get(runner.step(
+            smp["images"][None], smp["img2lidar"][None],
+            smp["img_hw"][None], smp["timestamp"][None],
+        ))
+        preds[smp["token"]] = boxes_from_arrays(
+            smp["token"], det["boxes"][0], det["scores"][0],
+            det["labels"][0], det["valid"][0],
+        )
+        prev_info = ds.infos[i]
+    wall = time.time() - t0
+    print(f"streaming: {n_cached}/{len(order)} frames served from the feature cache")
+    return preds, len(order), wall
 
 
 def main():
@@ -93,18 +141,23 @@ def main():
         eval_step = jax.jit(make_eval_step(cfg))
 
     preds, gts = {}, {}
-    t0 = time.time()
-    n = 0
-    for batch in loader.epoch(0):
-        tokens = batch.pop("tokens")
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        det = jax.device_get(eval_step(params, jb))
-        for i, tok in enumerate(tokens):
-            preds[tok] = boxes_from_arrays(
-                tok, det["boxes"][i], det["scores"][i], det["labels"][i], det["valid"][i]
-            )
-        n += len(tokens)
-    wall = time.time() - t0
+    if args.streaming:
+        if args.quant_scales:
+            raise SystemExit("--streaming does not compose with --quant-scales yet")
+        preds, n, wall = run_streaming_inference(cfg, params, ds)
+    else:
+        t0 = time.time()
+        n = 0
+        for batch in loader.epoch(0):
+            tokens = batch.pop("tokens")
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            det = jax.device_get(eval_step(params, jb))
+            for i, tok in enumerate(tokens):
+                preds[tok] = boxes_from_arrays(
+                    tok, det["boxes"][i], det["scores"][i], det["labels"][i], det["valid"][i]
+                )
+            n += len(tokens)
+        wall = time.time() - t0
     print(f"inference: {n} samples in {wall:.1f}s ({n / wall:.2f} samples/s)")
 
     # GT from infos

@@ -224,6 +224,21 @@ _register(ExperimentConfig(
     train=TrainConfig(optim=OptimConfig(warmup_iters=2)),
 ))
 
+# tiny 2-frame (PETRv2-style) smoke preset for the streaming path
+_register(ExperimentConfig(
+    name="tiny_debug_v2",
+    model=ModelConfig(
+        backbone=BackboneConfig(kind="vovnet", spec="V-39-eSE", out_indices=(2, 3)),
+        head=HeadConfig(kind="petrv2", num_query=32, embed_dim=64, num_layers=2,
+                        num_heads=4, ffn_dim=128, depth_num=8,
+                        with_fpe=True, with_time=True, shared_branches=False),
+        use_grid_mask=False,
+        compute_dtype="float32",
+    ),
+    data=DataConfig(image_size=(32, 80), final_dim=(32, 80), max_gt=16, num_frames=2),
+    train=TrainConfig(optim=OptimConfig(warmup_iters=2, code_weights=(1.0,) * 10)),
+))
+
 _register(ExperimentConfig(
     name="depthr_r50_c5_512x1408_gtdepth",
     model=ModelConfig(

@@ -196,6 +196,69 @@ class NuScenesDataset:
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         return self.get(idx, seed=idx)
 
+    def streaming_sample(self, idx: int, prev_info: Optional[Dict] = None) -> Dict:
+        """One streaming step's inputs for a 2-frame (PETRv2) config.
+
+        Current frame: the sample's 6 keyframe cams (images loaded and
+        transformed). Previous frame: the ``sweeps_cams`` entry whose
+        CAM_FRONT ``data_path`` matches ``prev_info``'s keyframe — i.e. the
+        actual previous keyframe, whose backbone features the caller
+        (`petr_tpu.serve.StreamingPETRv2`) holds in its cache. Its
+        ego-aligned matrices and lidar-relative timestamps come from THIS
+        sample's own info record (the same chain the offline loader uses),
+        so no live pose math is needed. When there is no match (scene start,
+        or ``prev_info`` is None) the previous frame self-pads exactly like
+        the offline ``pad_empty_sweeps`` path and ``cached`` is False — the
+        caller must ``reset()`` its feature cache.
+
+        Returns images for the CURRENT 6 views only, (12,)-view matrices /
+        timestamps, and ``cached``.
+        """
+        assert self.cfg.num_frames > 1, "streaming_sample needs a 2-frame config"
+        info = self.infos[idx]
+        cams = [dict(info["cams"][name], _ts_ref=info["timestamp"]) for name in CAM_ORDER]
+
+        matched = None
+        if prev_info is not None:
+            prev_path = prev_info["cams"][CAM_ORDER[0]]["data_path"]
+            for frame in info.get("sweeps_cams") or []:
+                if frame[CAM_ORDER[0]]["data_path"] == prev_path:
+                    matched = frame
+                    break
+        if matched is not None:
+            prev_cams = [dict(matched[name], _ts_ref=info["timestamp"]) for name in CAM_ORDER]
+        else:
+            lo, hi = self.sweep_range
+            mean_time = (lo + hi) / 2.0 * 0.083
+            prev_cams = [dict(c, _ts_pad=mean_time) for c in cams]
+
+        rng = np.random.default_rng(np.random.SeedSequence([0, idx]))
+        ida = sample_ida_params(
+            rng, self.src_hw, self.cfg.final_dim, self.cfg.resize_lim,
+            self.cfg.bot_pct_lim, self.cfg.rot_lim, self.cfg.rand_flip,
+            False,  # streaming is an inference path: deterministic IDA
+        )
+        images = self._load_and_transform(cams, ida)
+
+        l2i_list, ts_list = [], []
+        for cam in cams + prev_cams:
+            mats = cam_matrices(cam)
+            intr = update_intrinsics_ida(mats["intrinsics"], ida)
+            l2i_list.append(compose_lidar2img(intr, mats["extrinsics"]))
+            ts = float(cam.get("_ts_ref", 0.0)) - float(cam.get("timestamp", 0.0))
+            ts_list.append(ts + float(cam.get("_ts_pad", 0.0)))
+        l2i = np.stack(l2i_list)  # (12, 4, 4)
+
+        fh, fw = self.cfg.final_dim
+        return {
+            "images": np.stack(images).astype(np.float32),  # (6, H, W, 3)
+            "img2lidar": np.linalg.inv(l2i).astype(np.float32),
+            "img_hw": np.full((len(l2i_list), 2), [fh, fw], np.float32),
+            "timestamp": np.asarray(ts_list, np.float32),
+            "token": info.get("token", str(idx)),
+            "cached": matched is not None,
+        }
+
     def get(self, idx: int, seed: int = 0) -> Dict[str, np.ndarray]:
         info = self.infos[idx]
         rng = np.random.default_rng(np.random.SeedSequence([seed, idx]))

@@ -193,6 +193,7 @@ def build_infos(
 
         info = {
             "token": sample["token"],
+            "scene_token": sample["scene_token"],
             "timestamp": sample["timestamp"] / 1e6,
             "lidar_path": lidar_sd["filename"],
             "cams": cams,

@@ -134,6 +134,66 @@ def test_align_prev_lidar2img_projects_static_points_identically():
     np.testing.assert_allclose(aligned @ p_cur, prev_l2i @ p_prev, atol=1e-9)
 
 
+def test_streaming_sample_matches_prev_keyframe(tmp_path):
+    """streaming_sample finds the previous keyframe among the sweep records
+    (same data_path) and reuses its ego-aligned matrices; a non-adjacent
+    prev_info (scene boundary) self-pads with cached=False."""
+    from petr_tpu.configs.config import DataConfig
+    from petr_tpu.data import NuScenesDataset
+    from tests.test_data import make_synth_infos
+
+    infos = make_synth_infos(tmp_path, n=3, n_prev=2)
+    dcfg = DataConfig(image_size=(32, 80), final_dim=(32, 80), max_gt=8, num_frames=2)
+    ds = NuScenesDataset(infos, dcfg, training=False, src_hw=(90, 160), sweep_range=(0, 2))
+
+    s0 = ds.streaming_sample(0, None)
+    assert not s0["cached"]  # scene start: self-padded
+    assert s0["images"].shape == (6, 32, 80, 3)
+    assert s0["img2lidar"].shape == (12, 4, 4)
+    # padded prev timestamps carry the mean-sweep offset
+    assert (s0["timestamp"][6:] > s0["timestamp"][:6]).all()
+
+    s1 = ds.streaming_sample(1, infos[0])
+    assert s1["cached"]
+    # the matched sweep's matrices equal the offline path's for that entry
+    sweep = infos[1]["sweeps_cams"][0]
+    assert sweep["CAM_FRONT"]["data_path"] == infos[0]["cams"]["CAM_FRONT"]["data_path"]
+
+    # prev frame 2 keyframes back still resolves (it is in the sweep list,
+    # with its own ego-aligned matrices)
+    s2 = ds.streaming_sample(2, infos[0])
+    assert s2["cached"]
+
+    # a frame from another scene (path not in this sample's sweeps): padding
+    foreign = {"cams": {"CAM_FRONT": {"data_path": "other_scene.jpg"}}}
+    s3 = ds.streaming_sample(2, foreign)
+    assert not s3["cached"]
+
+
+@pytest.mark.slow
+def test_streaming_eval_cli(tmp_path, monkeypatch, capsys):
+    """cli.test --streaming end-to-end on synthetic 2-frame data."""
+    import pickle
+    import sys
+
+    from petr_tpu.cli import test as test_cli
+    from tests.test_data import make_synth_infos
+
+    infos = make_synth_infos(tmp_path, n=3, n_prev=2)
+    pkl = tmp_path / "infos.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"infos": infos, "metadata": {"version": "synthetic"}}, f)
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["test", "--config", "tiny_debug_v2", "--infos", str(pkl), "--streaming"],
+    )
+    test_cli.main()
+    out = capsys.readouterr().out
+    assert "frames served from the feature cache" in out
+    assert "mAP" in out or "nds" in out.lower()
+
+
 def test_feature_and_head_slices_share_detector_params():
     """PETRFeatureNet/PETRHeadNet param trees are subtrees of PETRDetector's."""
     cfg = v2_tiny_config()

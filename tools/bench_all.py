@@ -71,7 +71,7 @@ def bench_config(name):
 
 
 def main():
-    names = sys.argv[1:] or [c for c in list_configs() if c != "tiny_debug"]
+    names = sys.argv[1:] or [c for c in list_configs() if not c.startswith("tiny")]
     for name in names:
         try:
             print(json.dumps(bench_config(name)), flush=True)
