@@ -98,7 +98,6 @@ def main():
     from petr_tpu.configs import get_config
     from petr_tpu.data import Loader, NuScenesDataset
     from petr_tpu.metrics.nuscenes import (
-        DetectionBox,
         boxes_from_arrays,
         evaluate_detections,
     )
@@ -160,30 +159,9 @@ def main():
         wall = time.time() - t0
     print(f"inference: {n} samples in {wall:.1f}s ({n / wall:.2f} samples/s)")
 
-    # GT from infos
-    from petr_tpu.configs.config import NUSCENES_CLASSES
+    from petr_tpu.metrics.nuscenes import ground_truth_from_infos
 
-    for info in ds.infos:
-        tok = info["token"]
-        boxes = np.asarray(info["gt_boxes"], float).reshape(-1, 7)
-        vel = np.nan_to_num(np.asarray(info.get("gt_velocity", np.zeros((len(boxes), 2))), float))
-        labels = np.asarray(info.get("gt_labels"), int)
-        attrs = info.get("gt_attrs", [""] * len(boxes))
-        npts = info.get("num_lidar_pts", [10] * len(boxes))
-        gts[tok] = [
-            DetectionBox(
-                sample_token=tok,
-                center=np.array([b[0], b[1], b[2] + b[5] / 2]),
-                size=b[3:6],
-                yaw=float(b[6]),
-                velocity=vel[i],
-                name=NUSCENES_CLASSES[labels[i]],
-                attr=attrs[i] if i < len(attrs) else "",
-                num_pts=int(npts[i]) if i < len(npts) else 10,
-            )
-            for i, b in enumerate(boxes)
-        ]
-
+    gts = ground_truth_from_infos(ds.infos)
     results = evaluate_detections(gts, preds)
     for k, v in sorted(results.items()):
         print(f"{k}: {v:.4f}")

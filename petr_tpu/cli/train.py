@@ -45,6 +45,17 @@ def parse_args():
         help="mirror scalar metrics to <work-dir>/tb (reference parity: the "
         "mmcv TensorboardLoggerHook, requirements.txt:10)",
     )
+    # in-training evaluation (reference mmcv EvalHook: `evaluation =
+    # dict(interval=N)`, petr_r50dcn_gridmask_p4.py:262)
+    p.add_argument("--eval-infos", default=None, help="val info .pkl; evaluates "
+                   "mAP/NDS every --eval-interval epochs")
+    p.add_argument("--eval-interval", type=int, default=1, help="epochs between evals")
+    # multi-host SPMD (replaces the reference's torch.distributed/SLURM
+    # launchers): every host runs the same command; env fallbacks
+    # COORDINATOR_ADDRESS / NUM_PROCESSES|WORLD_SIZE / PROCESS_ID|RANK
+    p.add_argument("--coordinator", default=None, help="host:port of process 0")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p.parse_args()
 
 
@@ -65,6 +76,11 @@ def main():
     args = parse_args()
     from petr_tpu.configs import get_config
     from petr_tpu.data import Loader, NuScenesDataset
+    from petr_tpu.parallel.distributed import (
+        host_local_batch_to_global,
+        init_distributed,
+        make_pod_mesh,
+    )
     from petr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from petr_tpu.train import create_train_state, make_train_step
     from petr_tpu.train.checkpoint import (
@@ -74,15 +90,26 @@ def main():
         save_checkpoint,
     )
 
+    # must run before any backend use; no-op single-process
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
+    n_proc = jax.process_count()
+    is_main = jax.process_index() == 0
+
     cfg = get_config(args.config, args.overrides)
     epochs = args.epochs or cfg.train.optim.epochs
 
     ds = NuScenesDataset.from_pkl(
         args.infos, cfg.data, training=True, data_root=args.data_root
     )
-    n_dev = len(jax.devices())
+    n_dev = jax.device_count()
     batch_size = args.batch_size or cfg.train.optim.batch_size_per_device * n_dev
-    loader = Loader(ds, batch_size, seed=args.seed)
+    if batch_size % n_proc:
+        raise SystemExit(f"global batch {batch_size} not divisible by {n_proc} processes")
+    local_bs = batch_size // n_proc
+    loader = Loader(
+        ds, local_bs, seed=args.seed,
+        process_shard=(jax.process_index(), n_proc) if n_proc > 1 else None,
+    )
     steps_per_epoch = len(loader)
     if steps_per_epoch == 0:
         raise SystemExit(
@@ -91,7 +118,7 @@ def main():
         )
     total_steps = steps_per_epoch * epochs
 
-    mesh = make_mesh()
+    mesh = make_pod_mesh() if n_proc > 1 else make_mesh()
     sample = next(iter(loader.epoch(0)))
     sample = {k: jnp.asarray(v) for k, v in sample.items() if k != "tokens"}
     state = create_train_state(cfg, jax.random.PRNGKey(args.seed), total_steps, sample)
@@ -106,9 +133,9 @@ def main():
             print(f"resumed from {latest} at step {int(state.step)}")
 
     os.makedirs(args.work_dir, exist_ok=True)
-    logf = open(os.path.join(args.work_dir, "train_log.jsonl"), "a")
+    logf = open(os.path.join(args.work_dir, "train_log.jsonl"), "a") if is_main else None
     tb_writer = None
-    if args.tensorboard:
+    if args.tensorboard and is_main:
         try:
             from torch.utils.tensorboard import SummaryWriter
 
@@ -142,10 +169,15 @@ def main():
         for epoch in range(start_epoch, epochs):
             for batch in loader.epoch(epoch):
                 batch.pop("tokens", None)
-                batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+                if n_proc > 1:
+                    batch = host_local_batch_to_global(
+                        {k: np.asarray(v) for k, v in batch.items()}, mesh
+                    )
+                else:
+                    batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
                 state, metrics = step_fn(state, batch, rng)
                 step = int(state.step)
-                if step % args.log_every == 0:
+                if step % args.log_every == 0 and is_main:
                     metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
                     dt = time.time() - t_last
                     t_last = time.time()
@@ -163,15 +195,40 @@ def main():
                             if k != "step" and isinstance(v, (int, float)):
                                 tb_writer.add_scalar(k, v, global_step=step)
                 if preempted or (args.max_steps and step >= args.max_steps):
+                    # all processes save (orbax coordinates; primary writes)
                     save_checkpoint(ckpt_base, step, jax.device_get(state),
                                     cfg.train.max_keep_ckpts, meta=ckpt_meta(cfg))
-                    if preempted:
+                    if preempted and is_main:
                         print(f"checkpoint saved at step {step}; exiting on "
                               f"signal {preempted[0]} (resume with --resume)")
                     return
             save_checkpoint(ckpt_base, int(state.step), jax.device_get(state),
                             cfg.train.max_keep_ckpts, meta=ckpt_meta(cfg))
-            print(f"epoch {epoch} done; checkpoint saved")
+            if is_main:
+                print(f"epoch {epoch} done; checkpoint saved")
+            if args.eval_infos and (epoch + 1) % max(args.eval_interval, 1) == 0:
+                if n_proc > 1:
+                    if is_main:
+                        print("in-training eval is single-process; skipping "
+                              "(run cli.test on the checkpoint instead)")
+                else:
+                    from petr_tpu.train.evaluate import evaluate_model
+
+                    val_ds = NuScenesDataset.from_pkl(
+                        args.eval_infos, cfg.data, training=False,
+                        data_root=args.data_root,
+                    )
+                    results = {f"val/{k}": float(v) for k, v in
+                               evaluate_model(cfg, state.params, val_ds).items()}
+                    rec = {"epoch": epoch, "step": int(state.step), **results}
+                    print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                                      for k, v in rec.items()}))
+                    if logf is not None:
+                        logf.write(json.dumps(rec) + "\n")
+                        logf.flush()
+                    if tb_writer is not None:
+                        for k, v in results.items():
+                            tb_writer.add_scalar(k, v, global_step=int(state.step))
 
 
 if __name__ == "__main__":

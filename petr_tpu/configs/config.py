@@ -77,6 +77,10 @@ class ModelConfig:
     # activation rematerialization (reference with_cp; disable when HBM allows
     # — saves the recompute FLOPs in backward)
     remat: bool = True
+    # where remat applies when remat=True: "all" (reference with_cp parity:
+    # backbone blocks AND decoder layers), "backbone", or "decoder". Selective
+    # remat trades HBM for recompute only where it pays at a given batch/res.
+    remat_scope: str = "all"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -350,22 +350,40 @@ class Loader:
     """Thread-prefetching batch loader with per-epoch shuffling."""
 
     def __init__(self, dataset: NuScenesDataset, batch_size: int, seed: int = 0,
-                 shuffle: bool = True, num_threads: int = 4, drop_last: bool = True):
+                 shuffle: bool = True, num_threads: int = 4, drop_last: bool = True,
+                 process_shard: Optional[tuple] = None):
+        """``process_shard=(process_id, num_processes)`` makes this loader
+        serve a disjoint stride of every epoch's (shared-seed) global order —
+        the JAX-SPMD replacement for torch's DistributedSampler: every host
+        runs the same script with the same seed, each reads only its own
+        samples, and ``batch_size`` is the per-host (local) batch.
+        """
         self.ds = dataset
         self.bs = batch_size
         self.seed = seed
         self.shuffle = shuffle
         self.num_threads = num_threads
         self.drop_last = drop_last
+        self.process_shard = process_shard
+        if process_shard is not None:
+            pid, nproc = process_shard
+            assert 0 <= pid < nproc, process_shard
 
     def __len__(self):
         n = len(self.ds)
+        if self.process_shard is not None:
+            # truncate to the floor count so every process runs the SAME
+            # number of steps (unequal step counts deadlock the collectives)
+            n = n // self.process_shard[1]
         return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
 
     def epoch(self, epoch: int):
         order = np.arange(len(self.ds))
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(order)
+        if self.process_shard is not None:
+            pid, nproc = self.process_shard
+            order = order[pid::nproc][: len(self.ds) // nproc]
         n_batches = len(self)
         idx_batches = [
             order[i * self.bs : (i + 1) * self.bs] for i in range(n_batches)

@@ -286,3 +286,34 @@ def boxes_from_arrays(
             )
         )
     return out
+
+
+def ground_truth_from_infos(
+    infos: Sequence[dict], classes: Sequence[str] = NUSCENES_CLASSES
+) -> Dict[str, List[DetectionBox]]:
+    """GT DetectionBoxes per sample token from info records (bottom-center z
+    converted to gravity center, NaN velocities zeroed)."""
+    gts: Dict[str, List[DetectionBox]] = {}
+    for info in infos:
+        tok = info["token"]
+        boxes = np.asarray(info["gt_boxes"], float).reshape(-1, 7)
+        vel = np.nan_to_num(
+            np.asarray(info.get("gt_velocity", np.zeros((len(boxes), 2))), float)
+        )
+        labels = np.asarray(info.get("gt_labels"), int)
+        attrs = info.get("gt_attrs", [""] * len(boxes))
+        npts = info.get("num_lidar_pts", [10] * len(boxes))
+        gts[tok] = [
+            DetectionBox(
+                sample_token=tok,
+                center=np.array([b[0], b[1], b[2] + b[5] / 2]),
+                size=b[3:6],
+                yaw=float(b[6]),
+                velocity=vel[i],
+                name=classes[labels[i]],
+                attr=attrs[i] if i < len(attrs) else "",
+                num_pts=int(npts[i]) if i < len(npts) else 10,
+            )
+            for i, b in enumerate(boxes)
+        ]
+    return gts

@@ -25,6 +25,13 @@ from petr_tpu.models.resnet import ResNet
 from petr_tpu.models.vovnet import VoVNet
 
 
+def _remat_scope(cfg: ModelConfig) -> str:
+    scope = getattr(cfg, "remat_scope", "all")
+    if scope not in ("all", "backbone", "decoder"):
+        raise ValueError(f"remat_scope must be all|backbone|decoder, got {scope!r}")
+    return scope
+
+
 def _backbone_neck_feature(cfg: ModelConfig, images: jax.Array, dtype) -> jax.Array:
     """Backbone + neck, returning the head-level feature map (B, N, fh, fw, fc).
 
@@ -34,12 +41,13 @@ def _backbone_neck_feature(cfg: ModelConfig, images: jax.Array, dtype) -> jax.Ar
     """
     B, N, H, W, C = images.shape
     x = images.reshape(B * N, H, W, C).astype(dtype)
+    bb_remat = cfg.remat and _remat_scope(cfg) in ("all", "backbone")
 
     if cfg.backbone.kind == "vovnet":
         feats = VoVNet(
             spec=cfg.backbone.spec,
             out_indices=cfg.backbone.out_indices,
-            remat=cfg.remat,
+            remat=bb_remat,
             dtype=dtype,
             quant=cfg.backbone.quant,
             name="backbone",
@@ -54,7 +62,7 @@ def _backbone_neck_feature(cfg: ModelConfig, images: jax.Array, dtype) -> jax.Ar
             depth=depth,
             out_indices=cfg.backbone.out_indices,
             dcn_stages=cfg.backbone.dcn_stages,
-            remat_stages=cfg.remat,
+            remat_stages=bb_remat,
             dtype=dtype,
             name="backbone",
         )(x)
@@ -112,7 +120,7 @@ def _apply_head(
         dropout_rate=hcfg.dropout_rate,
         shared_branches=hcfg.shared_branches,
         deterministic=deterministic,
-        remat=cfg.remat,
+        remat=cfg.remat and _remat_scope(cfg) in ("all", "decoder"),
         use_flash=cfg.use_flash_attention,
         dtype=dtype,
         name="head",

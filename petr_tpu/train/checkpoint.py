@@ -23,11 +23,17 @@ def save_checkpoint(
 ) -> str:
     """Save state; ``meta`` (config json, class names, version — the
     reference embeds the same, `tools/train.py:233-243`) is written alongside
-    as meta.json."""
+    as meta.json.
+
+    Multi-host: call from EVERY process — orbax coordinates the commit across
+    the distributed runtime (a rank-0-only call deadlocks on its barrier).
+    The primary process alone writes meta.json and rotates old checkpoints.
+    """
     import json
 
     import orbax.checkpoint as ocp
 
+    is_primary = jax.process_index() == 0
     os.makedirs(base, exist_ok=True)
     path = _ckpt_dir(base, step)
     with ocp.StandardCheckpointer() as ckptr:
@@ -36,15 +42,16 @@ def save_checkpoint(
             {"params": state.params, "opt_state": state.opt_state, "step": state.step},
             force=True,
         )
-    if meta is not None:
+    if meta is not None and is_primary:
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f, indent=2, default=str)
-    # rotate
-    kept = sorted(d for d in os.listdir(base) if d.startswith("step_"))
-    for d in kept[:-max_keep]:
-        import shutil
+    if is_primary:
+        # rotate
+        kept = sorted(d for d in os.listdir(base) if d.startswith("step_"))
+        for d in kept[:-max_keep]:
+            import shutil
 
-        shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
     return path
 
 

@@ -72,3 +72,18 @@ def test_train_then_eval_cli(tmp_path, monkeypatch, capsys):
     det = next(iter(payload["results"].values()))[0]
     assert set(det) >= {"translation", "size", "rotation", "velocity",
                         "detection_name", "detection_score"}
+
+    # in-training evaluation (mmcv EvalHook capability): one full epoch
+    # then a val pass whose metrics land in the train log with val/ keys
+    work2 = tmp_path / "work_eval"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train", "--config", "tiny_debug", "--infos", str(pkl),
+         "--work-dir", str(work2), "--epochs", "1", "--log-every", "1",
+         "--batch-size", "2", "--eval-infos", str(pkl)],
+    )
+    train_cli.main()
+    capsys.readouterr()
+    recs = [json.loads(l) for l in open(work2 / "train_log.jsonl")]
+    val_recs = [r for r in recs if any(k.startswith("val/") for k in r)]
+    assert val_recs and "val/mAP" in val_recs[-1]

@@ -27,9 +27,20 @@ def main():
             cfg, model=dataclasses.replace(cfg.model, remat=False)
         )
         print("remat disabled", flush=True)
+    if "--remat-scope" in sys.argv:
+        scope = sys.argv[sys.argv.index("--remat-scope") + 1]
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, remat_scope=scope)
+        )
+        print(f"remat scope: {scope}", flush=True)
     N = cfg.data.num_views * cfg.data.num_frames
     H, W = cfg.data.image_size
-    for B in (1, 2, 4, 8):
+    batch_sizes = (1, 2, 4, 8)
+    if "--batches" in sys.argv:
+        batch_sizes = tuple(
+            int(b) for b in sys.argv[sys.argv.index("--batches") + 1].split(",")
+        )
+    for B in batch_sizes:
         try:
             batches = [
                 ge._batch(B, N, H, W, cfg.data.max_gt, with_ts=cfg.data.num_frames > 1, seed=s)
