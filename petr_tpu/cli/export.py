@@ -30,6 +30,10 @@ def parse_args():
     p.add_argument("--quant-scales", default=None, metavar="NPZ")
     p.add_argument("--platforms", nargs="*", default=None,
                    help="lowering platforms (default: current backend)")
+    p.add_argument("--streaming", action="store_true",
+                   help="export the streaming pair (feature extractor + "
+                   "head+decode) for a 2-frame config; replay with "
+                   "petr_tpu.serve.StreamingArtifactRunner")
     p.add_argument(
         "--set", nargs="*", default=[], dest="overrides", metavar="KEY=VAL",
     )
@@ -71,18 +75,33 @@ def main():
     if args.ckpt:
         params = load_params(args.ckpt, params)
 
-    exported = export_serving(
-        cfg,
-        params,
-        batch_size=args.batch_size,
-        quant_scales=quant_scales,
-        embed_params=args.embed_params,
-        platforms=args.platforms,
-    )
-    save_artifact(
-        args.out, exported, cfg,
-        batch_size=args.batch_size, embed_params=args.embed_params,
-    )
+    if args.streaming:
+        if quant_scales is not None:
+            raise SystemExit("--streaming does not compose with --quant-scales yet")
+        from petr_tpu.serve import export_streaming, save_streaming_artifact
+
+        exported_pair = export_streaming(
+            cfg, params, batch_size=args.batch_size,
+            embed_params=args.embed_params, platforms=args.platforms,
+        )
+        save_streaming_artifact(
+            args.out, exported_pair, cfg,
+            batch_size=args.batch_size, embed_params=args.embed_params,
+        )
+        exported = exported_pair[0]
+    else:
+        exported = export_serving(
+            cfg,
+            params,
+            batch_size=args.batch_size,
+            quant_scales=quant_scales,
+            embed_params=args.embed_params,
+            platforms=args.platforms,
+        )
+        save_artifact(
+            args.out, exported, cfg,
+            batch_size=args.batch_size, embed_params=args.embed_params,
+        )
     import os
 
     mb = os.path.getsize(args.out) / 1e6

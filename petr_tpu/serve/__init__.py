@@ -9,22 +9,30 @@ without a checkpoint).
 """
 
 from petr_tpu.serve.export import (
+    StreamingArtifactRunner,
     export_serving,
+    export_streaming,
     load_artifact,
     make_serving_fn,
     save_artifact,
+    save_streaming_artifact,
     serving_input_spec,
+    streaming_input_spec,
 )
 from petr_tpu.serve.server import InferenceServer
 from petr_tpu.serve.streaming import StreamingPETRv2, self_padded_timestamp
 
 __all__ = [
     "export_serving",
+    "export_streaming",
     "load_artifact",
     "make_serving_fn",
     "save_artifact",
+    "save_streaming_artifact",
     "serving_input_spec",
+    "streaming_input_spec",
     "InferenceServer",
+    "StreamingArtifactRunner",
     "StreamingPETRv2",
     "self_padded_timestamp",
 ]

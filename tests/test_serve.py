@@ -156,3 +156,59 @@ def test_server_rejects_missing_keys(tiny):
     with InferenceServer(lambda *a: None, batch_size=1) as srv:
         with pytest.raises(KeyError):
             srv.submit({"images": np.zeros((6, 8, 8, 3))})
+
+
+# --- streaming artifacts ------------------------------------------------------
+
+def test_streaming_export_roundtrip(tmp_path):
+    """Streaming artifact replay == StreamingPETRv2 decode, frame by frame."""
+    from petr_tpu.models.detector import PETRFeatureNet  # noqa: F401 (API)
+    from petr_tpu.serve import (
+        StreamingArtifactRunner,
+        StreamingPETRv2,
+        export_streaming,
+        save_streaming_artifact,
+        self_padded_timestamp,
+    )
+    from tests.test_petrv2_e2e import v2_tiny_config
+
+    cfg = v2_tiny_config()
+    H, W = cfg.data.image_size
+    B, N6 = 1, 6
+    rng = np.random.default_rng(7)
+    img_a = rng.standard_normal((B, N6, H, W, 3)).astype(np.float32)
+    img_b = rng.standard_normal((B, N6, H, W, 3)).astype(np.float32)
+    i2l = np.tile(np.eye(4, dtype=np.float32), (B, 2 * N6, 1, 1))
+    hw = np.tile(np.array([H, W], np.float32), (B, 2 * N6, 1))
+    ts = self_padded_timestamp(np.zeros((B, N6), np.float32)).astype(np.float32)
+
+    model = PETRDetector(cfg.model, deterministic=True)
+    params = model.init(
+        jax.random.PRNGKey(0), np.concatenate([img_a, img_a], 1), i2l, hw,
+        timestamp=ts,
+    )["params"]
+
+    ref = StreamingPETRv2(cfg, params, decode=True)
+    r0 = jax.device_get(ref.step(img_a, i2l, hw, ts))
+    r1 = jax.device_get(ref.step(img_b, i2l, hw, ts))
+
+    pair = export_streaming(cfg, params, batch_size=1, embed_params=True)
+    path = str(tmp_path / "stream.petrx")
+    save_streaming_artifact(path, pair, cfg, batch_size=1, embed_params=True)
+
+    run = StreamingArtifactRunner(path)
+    a0 = jax.device_get(run.step(img_a, i2l, hw, ts))
+    a1 = jax.device_get(run.step(img_b, i2l, hw, ts))
+    for r, a in ((r0, a0), (r1, a1)):
+        np.testing.assert_allclose(a["boxes"], r["boxes"], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(a["scores"], r["scores"], rtol=1e-4, atol=1e-4)
+
+    # external-params artifact requires params at load
+    pair2 = export_streaming(cfg, params, batch_size=1, embed_params=False)
+    path2 = str(tmp_path / "stream_ext.petrx")
+    save_streaming_artifact(path2, pair2, cfg, batch_size=1, embed_params=False)
+    with pytest.raises(ValueError, match="params"):
+        StreamingArtifactRunner(path2)
+    run2 = StreamingArtifactRunner(path2, params=params)
+    b0 = jax.device_get(run2.step(img_a, i2l, hw, ts))
+    np.testing.assert_allclose(b0["boxes"], r0["boxes"], rtol=1e-4, atol=1e-4)
