@@ -76,12 +76,10 @@ def main():
         params = load_params(args.ckpt, params)
 
     if args.streaming:
-        if quant_scales is not None:
-            raise SystemExit("--streaming does not compose with --quant-scales yet")
         from petr_tpu.serve import export_streaming, save_streaming_artifact
 
         exported_pair = export_streaming(
-            cfg, params, batch_size=args.batch_size,
+            cfg, params, batch_size=args.batch_size, quant_scales=quant_scales,
             embed_params=args.embed_params, platforms=args.platforms,
         )
         save_streaming_artifact(

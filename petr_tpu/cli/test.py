@@ -52,7 +52,7 @@ def parse_args():
     return p.parse_args()
 
 
-def run_streaming_inference(cfg, params, ds):
+def run_streaming_inference(cfg, params, ds, quant_scales=None):
     """Scene-ordered streaming inference over the val infos.
 
     Uses each sample's own ego-aligned sweep record for the previous
@@ -68,7 +68,7 @@ def run_streaming_inference(cfg, params, ds):
     if ds.infos and "scene_token" in ds.infos[0]:
         order.sort(key=lambda i: (
             str(ds.infos[i]["scene_token"]), float(ds.infos[i]["timestamp"])))
-    runner = StreamingPETRv2(cfg, params, decode=True)
+    runner = StreamingPETRv2(cfg, params, decode=True, quant_scales=quant_scales)
     preds = {}
     prev_info = None
     t0 = time.time()
@@ -141,9 +141,12 @@ def main():
 
     preds, gts = {}, {}
     if args.streaming:
+        scales = None
         if args.quant_scales:
-            raise SystemExit("--streaming does not compose with --quant-scales yet")
-        preds, n, wall = run_streaming_inference(cfg, params, ds)
+            from petr_tpu.quant import load_scales
+
+            scales = load_scales(args.quant_scales)
+        preds, n, wall = run_streaming_inference(cfg, params, ds, quant_scales=scales)
     else:
         t0 = time.time()
         n = 0

@@ -156,12 +156,15 @@ def streaming_input_spec(
     }
 
 
-def make_streaming_fns(cfg: ExperimentConfig):
+def make_streaming_fns(cfg: ExperimentConfig, quant_scales=None):
     """(feature_fn, head_fn) positional functions for export/jit.
 
     feature_fn(params, images6) -> feats (B, 6, fh, fw, fc)
     head_fn(params, cur_feats, prev_feats, img2lidar, img_hw, timestamp)
         -> decoded boxes dict (same as the offline serving fn)
+
+    ``quant_scales`` enables the int8 PTQ backbone (cfg.model.backbone.quant
+    must be "int8"); the scales are baked into the feature module.
     """
     from petr_tpu.models.detector import PETRFeatureNet, PETRHeadNet
     from petr_tpu.ops.nms_free import nms_free_decode
@@ -170,7 +173,10 @@ def make_streaming_fns(cfg: ExperimentConfig):
     head_net = PETRHeadNet(cfg.model, tuple(cfg.data.image_size))
 
     def feature_fn(params, images):
-        return feature_net.apply({"params": params}, images)
+        variables = {"params": params}
+        if quant_scales is not None:
+            variables["quant"] = quant_scales
+        return feature_net.apply(variables, images)
 
     def head_fn(params, cur, prev, img2lidar, img_hw, timestamp):
         feats = jnp.concatenate([cur, prev], axis=1)
@@ -196,11 +202,12 @@ def export_streaming(
     params: Mapping[str, Any],
     *,
     batch_size: int = 1,
+    quant_scales=None,
     embed_params: bool = False,
     platforms: Optional[Sequence[str]] = None,
 ) -> Tuple[jax_export.Exported, jax_export.Exported]:
     """Export the streaming pair (feature extractor, head+decode)."""
-    feature_fn, head_fn = make_streaming_fns(cfg)
+    feature_fn, head_fn = make_streaming_fns(cfg, quant_scales)
     spec = streaming_input_spec(cfg, batch_size)
     feats_sds = jax.eval_shape(feature_fn, params, spec["images"])
     head_inputs = (

@@ -45,6 +45,9 @@ class StreamingPETRv2:
     decode: when True, ``step`` returns decoded boxes
         (``boxes/scores/labels/valid``, as ``cli/test.py``); when False, the
         raw per-layer head outputs.
+    quant_scales: optional "quant" collection (petr_tpu.quant) enabling the
+        int8 PTQ backbone for the per-frame feature extraction; the config's
+        backbone quant mode is switched to "int8" automatically.
 
     Per-frame inputs to ``step``:
       images:    (B, 6, H, W, 3) — the CURRENT frame's normalized views only.
@@ -55,11 +58,24 @@ class StreamingPETRv2:
       timestamp: (B, 12) lidar-relative deltas (required for with_time).
     """
 
-    def __init__(self, cfg: ExperimentConfig, params, *, decode: bool = True):
+    def __init__(
+        self, cfg: ExperimentConfig, params, *, decode: bool = True,
+        quant_scales=None,
+    ):
         if cfg.data.num_frames < 2:
             raise ValueError(
                 f"StreamingPETRv2 needs a 2-frame config, got num_frames="
                 f"{cfg.data.num_frames} ({cfg.name})"
+            )
+        if quant_scales is not None:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg,
+                model=dataclasses.replace(
+                    cfg.model,
+                    backbone=dataclasses.replace(cfg.model.backbone, quant="int8"),
+                ),
             )
         self.cfg = cfg
         self.params = params
@@ -70,7 +86,10 @@ class StreamingPETRv2:
         head_net = PETRHeadNet(cfg.model, input_hw)
 
         def feat_fn(p, images):
-            return feature_net.apply({"params": p}, images)
+            variables = {"params": p}
+            if quant_scales is not None:
+                variables["quant"] = quant_scales
+            return feature_net.apply(variables, images)
 
         def head_fn(p, cur_feats, prev_feats, img2lidar, img_hw, timestamp):
             feats = jnp.concatenate([cur_feats, prev_feats], axis=1)

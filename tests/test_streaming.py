@@ -217,3 +217,68 @@ def test_feature_and_head_slices_share_detector_params():
     for sub in (feat_params, head_params):
         for p, _ in jax.tree_util.tree_leaves_with_path(sub):
             assert jax.tree_util.keystr(p) in det_paths
+
+
+@pytest.mark.slow
+def test_streaming_int8_matches_full_int8_eval():
+    """int8 PTQ backbone composes with the streaming runtime: streaming decode
+    == the full 12-view int8 eval step (same calibrated scales)."""
+    import dataclasses
+
+    from petr_tpu.quant import calibrate_detector
+    from petr_tpu.serve import StreamingPETRv2
+
+    cfg = v2_tiny_config()
+    H, W = cfg.data.image_size
+    B, N = 1, 6
+    rng = np.random.default_rng(11)
+    img_a, i2l_a, hw_a = _frame(rng, B, N, H, W)
+    img_b, i2l_b, hw_b = _frame(rng, B, N, H, W)
+    images12 = np.concatenate([img_b, img_a], axis=1)
+    i2l12 = np.concatenate([i2l_b, i2l_a], axis=1)
+    hw12 = np.concatenate([hw_b, hw_a], axis=1)
+    ts12 = np.concatenate(
+        [np.zeros((B, N), np.float32), np.full((B, N), 0.5, np.float32)], axis=1
+    )
+    batch = {
+        "images": jnp.asarray(images12), "img2lidar": jnp.asarray(i2l12),
+        "img_hw": jnp.asarray(hw12), "timestamp": jnp.asarray(ts12),
+    }
+
+    model = PETRDetector(cfg.model, deterministic=True)
+    params = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["img2lidar"],
+        batch["img_hw"], timestamp=batch["timestamp"],
+    )["params"]
+    scales = calibrate_detector(cfg, params, [batch])
+
+    qmodel = dataclasses.replace(
+        cfg.model,
+        backbone=dataclasses.replace(cfg.model.backbone, quant="int8"),
+    )
+    full = jax.device_get(
+        PETRDetector(qmodel, deterministic=True).apply(
+            {"params": params, "quant": scales},
+            batch["images"], batch["img2lidar"], batch["img_hw"],
+            timestamp=batch["timestamp"],
+        )
+    )
+
+    # raw head outputs (decoded top-k order is tie-sensitive on an untrained
+    # model, so compare pre-decode)
+    s = StreamingPETRv2(cfg, params, decode=False, quant_scales=scales)
+    s.step(img_a, np.concatenate([i2l_a, i2l_a], 1),
+           np.concatenate([hw_a, hw_a], 1),
+           self_padded_timestamp(np.zeros((B, N), np.float32)))
+    out = jax.device_get(s.step(img_b, i2l12, hw12, ts12))
+
+    # jit (streaming) vs eager (full) fuse the int8 dequant epilogue
+    # differently; observed max rel diff ~4e-4
+    np.testing.assert_allclose(out["cls_logits"], full["cls_logits"], rtol=2e-3, atol=2e-3)
+    # codes span the pc_range (~±61 m): absolute 2 cm tolerance
+    np.testing.assert_allclose(out["bbox_codes"], full["bbox_codes"], rtol=2e-3, atol=2e-2)
+
+    # the decode path composes too (finite boxes end-to-end)
+    sd = StreamingPETRv2(cfg, params, decode=True, quant_scales=scales)
+    det = jax.device_get(sd.step(img_b, i2l12, hw12, ts12))
+    assert np.isfinite(det["boxes"]).all()
