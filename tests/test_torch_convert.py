@@ -205,3 +205,68 @@ def test_legacy_key_remap():
         legacy[k] = v
     new_params, stats = convert_state_dict(legacy, params, shared_branches=True)
     assert stats["skipped"] == 0 and stats["unfilled"] == 0, stats
+
+
+def test_convert_cli_roundtrip(tmp_path, monkeypatch, capsys):
+    """cli.convert: torch .pth -> orbax params dir -> load_params."""
+    import sys
+
+    import torch
+
+    import __graft_entry__ as ge
+    from petr_tpu.cli import convert as convert_cli
+    from petr_tpu.configs import get_config
+    from petr_tpu.train import create_train_state
+    from petr_tpu.train.checkpoint import load_params
+
+    cfg = get_config("tiny_debug")
+    N = cfg.data.num_views * cfg.data.num_frames
+    H, W = cfg.data.image_size
+    batch = ge._batch(1, N, H, W, cfg.data.max_gt)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), 1, batch)
+    sd = synth_torch_sd(state.params)
+    pth = tmp_path / "ref.pth"
+    torch.save({"state_dict": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}}, pth)
+
+    out = tmp_path / "imported"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["convert", "--config", "tiny_debug", "--torch-ckpt", str(pth),
+         "--out", str(out)],
+    )
+    convert_cli.main()
+    msg = capsys.readouterr().out
+    assert "0 target leaves unfilled" in msg
+
+    loaded = load_params(str(out), state.params)
+    expected, stats = convert_state_dict(
+        sd, state.params, shared_branches=cfg.model.head.shared_branches
+    )
+    assert stats["unfilled"] == 0
+    for got, exp in zip(jax.tree.leaves(loaded), jax.tree.leaves(expected)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-6)
+
+
+def test_publish_cli(tmp_path, monkeypatch, capsys):
+    import sys
+
+    import orbax.checkpoint as ocp
+
+    from petr_tpu.cli import publish as publish_cli
+    from petr_tpu.utils.publish import load_published
+
+    params = {"a": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    ckpt = tmp_path / "step_00000001"
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(str(ckpt), {"params": params, "step": np.int32(1)}, force=True)
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["publish", "--ckpt", str(ckpt), "--out", str(tmp_path / "pub.pkl")],
+    )
+    publish_cli.main()
+    msg = capsys.readouterr().out
+    assert "published" in msg
+    final = msg.split()[-1]
+    got = load_published(final)
+    np.testing.assert_array_equal(got["a"], params["a"])
