@@ -61,12 +61,47 @@ def cam_matrices(cam: Dict) -> Dict[str, np.ndarray]:
     viewpad[:3, :3] = intrinsic
     r = np.asarray(cam["sensor2lidar_rotation"], np.float64)
     t = np.asarray(cam["sensor2lidar_translation"], np.float64)
-    lidar2cam_r = np.linalg.inv(r)
+    try:
+        lidar2cam_r = np.linalg.inv(r)
+        if not np.isfinite(lidar2cam_r).all():
+            raise np.linalg.LinAlgError
+    except np.linalg.LinAlgError:
+        # corrupt rotation: identity fallback; the (now inconsistent)
+        # lidar2img flows into _safe_img2lidar / stays masked by the PE
+        lidar2cam_r = np.eye(3)
+        t = np.full(3, np.nan)  # poison so _safe_img2lidar rejects the view
     lidar2cam_t = t @ lidar2cam_r.T
     rt = np.eye(4)
     rt[:3, :3] = lidar2cam_r.T
     rt[3, :3] = -lidar2cam_t
     return {"intrinsics": viewpad, "extrinsics": rt}
+
+
+def _safe_img2lidar(l2i: np.ndarray) -> np.ndarray:
+    """fp64 batched inverse with corrupt-matrix fallback.
+
+    A non-finite or singular ``lidar2img`` (corrupt calibration) would crash
+    the inverse — or worse, propagate NaN through the 3D position embedding,
+    where the out-of-range mask does NOT catch NaN (comparisons with NaN are
+    False). Corrupt views get a constant far-away back-projection instead:
+    every frustum point maps to (1e4, 1e4, 1e4), far outside position_range,
+    so the PE mask excludes all of that view's tokens.
+    """
+    far = np.zeros((4, 4))
+    far[:3, 3] = 1e4
+    far[3, 3] = 1.0
+    out = np.empty_like(l2i, dtype=np.float64)
+    for i, m in enumerate(l2i):
+        inv = None
+        if np.isfinite(m).all():
+            try:
+                cand = np.linalg.inv(m)
+                if np.isfinite(cand).all():
+                    inv = cand
+            except np.linalg.LinAlgError:
+                pass
+        out[i] = far if inv is None else inv
+    return out
 
 
 class NuScenesDataset:
@@ -252,7 +287,7 @@ class NuScenesDataset:
         fh, fw = self.cfg.final_dim
         return {
             "images": np.stack(images).astype(np.float32),  # (6, H, W, 3)
-            "img2lidar": np.linalg.inv(l2i).astype(np.float32),
+            "img2lidar": _safe_img2lidar(l2i).astype(np.float32),
             "img_hw": np.full((len(l2i_list), 2), [fh, fw], np.float32),
             "timestamp": np.asarray(ts_list, np.float32),
             "token": info.get("token", str(idx)),
@@ -325,7 +360,7 @@ class NuScenesDataset:
         val_out[:n] = True
 
         fh, fw = self.cfg.final_dim
-        img2lidar = np.linalg.inv(l2i)
+        img2lidar = _safe_img2lidar(l2i)
         return {
             "images": np.stack(images).astype(np.float32),
             "img2lidar": img2lidar.astype(np.float32),

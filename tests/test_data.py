@@ -212,3 +212,26 @@ def test_albu_multiview_requires_optional_dep():
     else:
         with pytest.raises(ImportError, match="albumentations"):
             albu_multiview([])
+
+
+def test_corrupt_camera_matrix_sanitized(tmp_path):
+    """NaN/singular calibration must not crash the loader or leak NaN into
+    img2lidar — corrupt views get a far-away back-projection the PE range
+    mask excludes (the mask does NOT catch NaN, so NaN must never reach it)."""
+    from petr_tpu.configs.config import DataConfig
+    from petr_tpu.data import NuScenesDataset
+
+    infos = make_synth_infos(tmp_path, n=2)
+    # corrupt one view's intrinsics with NaN and another's rotation to singular
+    infos[0]["cams"]["CAM_FRONT"]["cam_intrinsic"] = np.full((3, 3), np.nan)
+    infos[0]["cams"]["CAM_BACK"]["cam_intrinsic"] = np.zeros((3, 3))
+    infos[0]["cams"]["CAM_FRONT_LEFT"]["sensor2lidar_rotation"] = np.zeros((3, 3))
+    dcfg = DataConfig(image_size=(32, 80), final_dim=(32, 80), max_gt=8)
+    ds = NuScenesDataset(infos, dcfg, training=False, src_hw=(90, 160))
+    s = ds.get(0)
+    assert np.isfinite(s["img2lidar"]).all()
+    # corrupt views back-project far outside position_range
+    pt = s["img2lidar"][0] @ np.array([10.0, 10.0, 1.0, 1.0])
+    assert np.abs(pt[:3]).max() > 1e3
+    # healthy views keep a real inverse
+    assert np.abs(s["img2lidar"][1] @ np.array([0, 0, 0, 1.0]))[:3].max() < 100
