@@ -50,12 +50,21 @@ def main():
 
     lowered = jax.jit(fwd).lower(variables["params"])
     flops = None
+    mem = {}
     try:
         compiled = lowered.compile()
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
         flops = ca.get("flops")
-    except Exception as e:  # cost analysis is backend-dependent
+        ma = compiled.memory_analysis()
+        if ma is not None:
+            # compiled HBM footprint (beyond the reference's FLOPs report)
+            for k in ("argument_size_in_bytes", "output_size_in_bytes",
+                      "temp_size_in_bytes", "generated_code_size_in_bytes"):
+                v = getattr(ma, k, None)
+                if v is not None:
+                    mem[k.replace("_in_bytes", "_mb")] = round(v / 1e6, 1)
+    except Exception as e:  # cost/memory analysis is backend-dependent
         print(f"cost analysis unavailable: {e}", file=sys.stderr)
 
     print(
@@ -65,6 +74,7 @@ def main():
                 "params_m": round(n_params / 1e6, 2),
                 "forward_gflops": round(flops / 1e9, 1) if flops else None,
                 "input": f"{N}x{H}x{W}",
+                **mem,
             }
         )
     )
