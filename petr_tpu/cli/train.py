@@ -132,6 +132,24 @@ def main():
             state = restore_checkpoint(latest, state)
             print(f"resumed from {latest} at step {int(state.step)}")
 
+    # env + resolved-config dump at startup (reference tools/train.py:190-202)
+    if is_main:
+        import dataclasses
+
+        import petr_tpu
+
+        env = {
+            "petr_tpu": petr_tpu.__version__,
+            "jax": jax.__version__,
+            "backend": jax.default_backend(),
+            "devices": n_dev,
+            "processes": n_proc,
+            "global_batch": batch_size,
+            "steps_per_epoch": steps_per_epoch,
+        }
+        print(json.dumps({"env": env}))
+        print(json.dumps({"config": dataclasses.asdict(cfg)}, default=str))
+
     os.makedirs(args.work_dir, exist_ok=True)
     logf = open(os.path.join(args.work_dir, "train_log.jsonl"), "a") if is_main else None
     tb_writer = None
