@@ -131,6 +131,13 @@ class TrainConfig:
     log_every: int = 50
     ckpt_every_epochs: int = 1
     max_keep_ckpts: int = 3
+    # Gradient accumulation: split each step's batch into `grad_accum`
+    # sequential micro-batches (lax.scan) and average the grads before the
+    # single optimizer update — lets a memory-constrained slice run the
+    # reference's global-batch-8 recipe (e.g. vov-p4 1600x640 on one chip).
+    # mmcv GradientCumulativeOptimizerHook semantics: per-micro-batch loss
+    # normalization, then gradient averaging.
+    grad_accum: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

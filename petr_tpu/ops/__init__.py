@@ -12,6 +12,7 @@ from petr_tpu.ops.boxes import (
     decode_bbox,
     gravity_center_boxes,
     bottom_center_boxes,
+    points_img2cam,
 )
 from petr_tpu.ops.losses import (
     sigmoid_focal_loss,

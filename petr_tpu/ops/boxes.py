@@ -45,6 +45,33 @@ def decode_bbox(codes: jax.Array) -> jax.Array:
     return jnp.concatenate(parts, axis=-1)
 
 
+def points_img2cam(points: jax.Array, cam2img: jax.Array) -> jax.Array:
+    """Unproject 2.5D image points (u, v, depth) to camera-frame 3D.
+
+    Behavioral reference: `core/bbox/util.py:4-35` — homogeneous
+    (u*d, v*d, d, 1) through the inverse of the 4x4-padded intrinsic matrix.
+
+    Args:
+        points: (..., 3) as (x_img, y_img, depth).
+        cam2img: camera intrinsics, (3, 3), (3, 4) or (4, 4).
+    Returns:
+        (..., 3) camera-frame points.
+    """
+    d = points[..., 2:3]
+    homo = jnp.concatenate(
+        [points[..., :2] * d, d, jnp.ones_like(d)], axis=-1
+    )  # (..., 4)
+    pad = jnp.eye(4, dtype=jnp.float32)
+    pad = pad.at[: cam2img.shape[0], : cam2img.shape[1]].set(
+        cam2img.astype(jnp.float32)
+    )
+    # TPU matmuls default to reduced precision; intrinsics have O(1e2-1e3)
+    # entries, so the inverse and the projection must run at full fp32.
+    with jax.default_matmul_precision("highest"):
+        out = homo.astype(jnp.float32) @ jnp.linalg.inv(pad).T
+    return out[..., :3].astype(points.dtype)
+
+
 def gravity_center_boxes(boxes_bottom: jax.Array) -> jax.Array:
     """Bottom-center-z boxes -> gravity-center-z (z += h/2).
 

@@ -73,13 +73,17 @@ def create_train_state(
     return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params), tx=tx)
 
 
-def make_train_step(cfg: ExperimentConfig, axis_name: Optional[str] = None):
+def make_grad_fn(cfg: ExperimentConfig, axis_name: Optional[str] = None):
+    """(params, batch, rng) -> (total, losses, grads) for one (micro-)batch.
+
+    Factored out of make_train_step so gradient accumulation can scan it over
+    micro-batches (and tests can call it to cross-check the accumulated path).
+    """
     model = PETRDetector(cfg.model, deterministic=False)
     ocfg = cfg.train.optim
 
-    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
-        step_rng = jax.random.fold_in(rng, state.step)
-        gm_rng, drop_rng = jax.random.split(step_rng)
+    def grad_fn(params, batch: Dict[str, jax.Array], rng: jax.Array):
+        gm_rng, drop_rng = jax.random.split(rng)
 
         def loss_fn(params):
             extra = {}
@@ -112,7 +116,60 @@ def make_train_step(cfg: ExperimentConfig, axis_name: Optional[str] = None):
             )
             return total, losses
 
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return total, losses, grads
+
+    return grad_fn
+
+
+def accumulate_grads(grad_fn, params, batch: Dict[str, jax.Array], rng: jax.Array, accum: int):
+    """Gradient accumulation over `accum` sequential micro-batches (lax.scan).
+
+    mmcv GradientCumulativeOptimizerHook semantics: each micro-batch is
+    normalized by its own avg_factor inside grad_fn, gradients are averaged
+    over the micro-batches, one optimizer update per step. Micro-batch i takes
+    samples [i::accum] (interleaved) so each device's data-parallel shard
+    contributes equally to every micro-batch. Micro-batch i gets
+    fold_in(rng, i) as its rng.
+
+    Returns (mean total, per-loss means, averaged grads).
+    """
+    bsz = jax.tree.leaves(batch)[0].shape[0]
+    if bsz % accum != 0:
+        raise ValueError(f"batch size {bsz} not divisible by grad_accum={accum}")
+
+    def split(x):
+        return jnp.moveaxis(x.reshape((x.shape[0] // accum, accum) + x.shape[1:]), 1, 0)
+
+    micro_batches = jax.tree.map(split, batch)
+
+    def body(grads_acc, xs):
+        i, mb = xs
+        t, l, g = grad_fn(params, mb, jax.random.fold_in(rng, i))
+        return jax.tree.map(jnp.add, grads_acc, g), (t, l)
+
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    grads_sum, (totals, losses_stacked) = jax.lax.scan(
+        body, zeros, (jnp.arange(accum), micro_batches)
+    )
+    grads = jax.tree.map(lambda g: g / accum, grads_sum)
+    return jnp.mean(totals), jax.tree.map(lambda x: jnp.mean(x, axis=0), losses_stacked), grads
+
+
+def make_train_step(cfg: ExperimentConfig, axis_name: Optional[str] = None):
+    grad_fn = make_grad_fn(cfg, axis_name)
+    accum = cfg.train.grad_accum
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        if accum <= 1:
+            total, losses, grads = grad_fn(state.params, batch, jax.random.fold_in(step_rng, 0))
+        else:
+            total, losses, grads = accumulate_grads(
+                grad_fn, state.params, batch, step_rng, accum
+            )
+
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             total = jax.lax.pmean(total, axis_name)

@@ -125,7 +125,17 @@ def _map_resnet(key: str):
     m = re.match(r"bn1\.(\w+)", key)
     if m and m.group(1) in _BN_LEAF:
         return ("stem_bn", _BN_LEAF[m.group(1)]), False
-    m = re.match(r"layer(\d)\.(\d+)\.(conv\d|bn\d)\.(\w+)", key)
+    # mmcv ModulatedDeformConv2dPack stores its offset/mask predictor as a
+    # `conv_offset` submodule of conv2 (keys `layerX.Y.conv2.conv_offset.*`);
+    # older mmdet variants used a sibling `conv2_offset` module. Accept both.
+    m = re.match(
+        r"layer(\d)\.(\d+)\.(?:conv2\.conv_offset|conv2_offset)\.(weight|bias)$", key
+    )
+    if m:
+        stage, block, leaf = m.groups()
+        name = f"layer{stage}_block{block}"
+        return (name, "conv2_offset", "kernel" if leaf == "weight" else "bias"), leaf == "weight"
+    m = re.match(r"layer(\d)\.(\d+)\.(conv\d|bn\d)\.(\w+)$", key)
     if m:
         stage, block, mod, leaf = m.groups()
         name = f"layer{stage}_block{block}"
@@ -137,11 +147,6 @@ def _map_resnet(key: str):
         if leaf in _BN_LEAF:
             return (name, mod, _BN_LEAF[leaf]), False
         return None, False
-    m = re.match(r"layer(\d)\.(\d+)\.conv2_offset\.(weight|bias)", key)
-    if m:
-        stage, block, leaf = m.groups()
-        name = f"layer{stage}_block{block}"
-        return (name, "conv2_offset", "kernel" if leaf == "weight" else "bias"), leaf == "weight"
     m = re.match(r"layer(\d)\.(\d+)\.downsample\.(0|1)\.(\w+)", key)
     if m:
         stage, block, idx, leaf = m.groups()
@@ -223,7 +228,17 @@ def convert_state_dict(
                 if mapped is None:
                     mapped, is_conv = _map_resnet(sub)
                 if mapped is not None:
-                    put(("backbone",) + tuple(mapped), val, is_conv=is_conv)
+                    try:
+                        put(("backbone",) + tuple(mapped), val, is_conv=is_conv)
+                    except KeyError:
+                        if tuple(mapped[-2:]) != ("conv2", "kernel"):
+                            raise
+                        # DCN bottleneck: conv2 is the raw `conv2_weight`
+                        # kernel param, not an nn.Conv submodule
+                        put(
+                            ("backbone",) + tuple(mapped[:-2]) + ("conv2_weight",),
+                            val, is_conv=True,
+                        )
                     continue
             if key.startswith("img_neck."):
                 mapped, is_conv = _map_neck(key[len("img_neck.") :])

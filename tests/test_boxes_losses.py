@@ -53,6 +53,23 @@ def test_encode_decode_7dim():
     np.testing.assert_allclose(rec, b, atol=1e-4)
 
 
+def test_points_img2cam_roundtrip_and_oracle():
+    from petr_tpu.ops import points_img2cam
+
+    rng = np.random.RandomState(0)
+    K3 = np.array([[400.0, 0, 320.0], [0, 410.0, 180.0], [0, 0, 1.0]], np.float32)
+    # project known camera points, then unproject (u, v, d) back
+    pts_cam = np.concatenate(
+        [rng.uniform(-10, 10, (32, 2)), rng.uniform(2, 50, (32, 1))], -1
+    ).astype(np.float32)
+    uvw = pts_cam @ K3.T
+    uvd = np.concatenate([uvw[:, :2] / uvw[:, 2:3], pts_cam[:, 2:3]], -1)
+    for K in (K3, np.concatenate([K3, np.zeros((3, 1), np.float32)], 1),
+              np.block([[K3, np.zeros((3, 1))], [np.zeros((1, 3)), np.ones((1, 1))]]).astype(np.float32)):
+        got = np.asarray(points_img2cam(jnp.asarray(uvd), jnp.asarray(K)))
+        np.testing.assert_allclose(got, pts_cam, rtol=1e-4, atol=1e-3)
+
+
 def test_gravity_bottom_center_roundtrip():
     b = rand_boxes(8, seed=1)
     g = gravity_center_boxes(jnp.asarray(b))

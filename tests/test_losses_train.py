@@ -160,6 +160,90 @@ def test_train_step_reduces_loss_and_masks_frozen_stats():
     )
 
 
+def test_accumulate_grads_exact_math():
+    """accumulate_grads == average of per-micro grads, per-micro rng streams,
+    interleaved [i::accum] micro-batch assignment — checked exactly against an
+    analytic toy grad_fn (the full detector can't be compared across separate
+    compilations: the Hungarian matcher flips near-tied assignments on fp
+    reassociation noise)."""
+    from petr_tpu.train.train_step import accumulate_grads
+
+    params = {"w": jnp.asarray([1.0, -2.0, 0.5]), "b": jnp.asarray(0.3)}
+
+    def grad_fn(p, batch, rng):
+        # per-micro normalization (mean over the micro-batch) + rng-dependent
+        # term so the fold_in(rng, i) schedule is actually checked
+        x, y = batch["x"], batch["y"]
+        noise = jax.random.normal(rng, ())
+
+        def loss(p):
+            pred = x @ p["w"] + p["b"] + noise * 0.1
+            total = jnp.mean((pred - y) ** 2)
+            return total, {"mse": total}
+
+        (t, l), g = jax.value_and_grad(loss, has_aux=True)(p)
+        return t, l, g
+
+    rng0 = np.random.RandomState(0)
+    batch = {"x": jnp.asarray(rng0.randn(6, 3).astype(np.float32)),
+             "y": jnp.asarray(rng0.randn(6).astype(np.float32))}
+    rng = jax.random.PRNGKey(7)
+
+    total, losses, grads = jax.jit(
+        lambda p, b, r: accumulate_grads(grad_fn, p, b, r, 3)
+    )(params, batch, rng)
+
+    ts, gs = [], []
+    for i in range(3):
+        mb = jax.tree.map(lambda x: x[i::3], batch)
+        t, _, g = grad_fn(params, mb, jax.random.fold_in(rng, i))
+        ts.append(float(t))
+        gs.append(g)
+    g_exp = jax.tree.map(lambda *a: sum(a) / 3, *gs)
+
+    assert float(total) == pytest.approx(np.mean(ts), rel=1e-6)
+    assert float(losses["mse"]) == pytest.approx(np.mean(ts), rel=1e-6)
+    for k in ("w", "b"):
+        np.testing.assert_allclose(np.asarray(grads[k]), np.asarray(g_exp[k]), rtol=1e-6)
+
+    with pytest.raises(ValueError, match="divisible"):
+        accumulate_grads(grad_fn, params, batch, rng, 4)
+
+
+@pytest.mark.slow
+def test_grad_accum_detector_end_to_end():
+    """grad_accum=2 on the real detector: runs under jit, per-step loss equals
+    the mean of the per-micro losses, params actually update. (Gradient values
+    can't be compared exactly across compilations — matcher near-ties.)"""
+    import dataclasses
+
+    from petr_tpu.train.train_step import make_grad_fn
+
+    cfg = tiny_config()
+    cfg2 = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, grad_accum=2))
+    batch = tiny_batch(B=2)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), 100, batch)
+    rng = jax.random.PRNGKey(1)
+
+    new_state, metrics = jax.jit(make_train_step(cfg2))(state, batch, rng)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+
+    grad_fn = make_grad_fn(cfg)
+    step_rng = jax.random.fold_in(rng, state.step)
+    ts = [
+        float(grad_fn(state.params, jax.tree.map(lambda x: x[i::2], batch),
+                      jax.random.fold_in(step_rng, i))[0])
+        for i in range(2)
+    ]
+    assert float(metrics["loss"]) == pytest.approx(np.mean(ts), rel=1e-4)
+
+    # params moved
+    moved = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params, new_state.params))
+    assert max(moved) > 0
+
+
 @pytest.mark.slow
 def test_eval_step_shapes():
     cfg = tiny_config()

@@ -247,6 +247,57 @@ def test_convert_cli_roundtrip(tmp_path, monkeypatch, capsys):
         np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-6)
 
 
+def test_resnet_dcn_key_map():
+    """mmcv DCNv2 checkpoint keys (`conv2.weight` raw kernel +
+    `conv2.conv_offset.*`) import into a DCN Bottleneck's param tree with full
+    coverage and the right layout."""
+    from petr_tpu.models.resnet import Bottleneck
+
+    block = Bottleneck(mid=8, out=16, stride=1, use_dcn=True)
+    x = jnp.zeros((1, 8, 8, 16))
+    params = block.init(jax.random.PRNGKey(0), x)["params"]
+
+    rng = np.random.RandomState(0)
+
+    def t(*shape):  # torch OIHW conv weight
+        return rng.randn(*shape).astype(np.float32)
+
+    base = "img_backbone.layer3.0"
+    sd = {
+        f"{base}.conv1.weight": t(8, 16, 1, 1),
+        f"{base}.conv2.weight": t(8, 8, 3, 3),
+        f"{base}.conv2.conv_offset.weight": t(27, 8, 3, 3),
+        f"{base}.conv2.conv_offset.bias": rng.randn(27).astype(np.float32),
+        f"{base}.conv3.weight": t(16, 8, 1, 1),
+    }
+    for i, ch in (("1", 8), ("2", 8), ("3", 16)):
+        sd[f"{base}.bn{i}.weight"] = rng.randn(ch).astype(np.float32)
+        sd[f"{base}.bn{i}.bias"] = rng.randn(ch).astype(np.float32)
+        sd[f"{base}.bn{i}.running_mean"] = rng.randn(ch).astype(np.float32)
+        sd[f"{base}.bn{i}.running_var"] = np.abs(rng.randn(ch)).astype(np.float32) + 0.5
+
+    new_params, stats = convert_state_dict(sd, {"backbone": {"layer3_block0": params}})
+    assert stats["skipped"] == 0, stats
+    assert stats["unfilled"] == 0, stats
+
+    blk = new_params["backbone"]["layer3_block0"]
+    np.testing.assert_allclose(
+        np.asarray(blk["conv2_weight"]),
+        np.transpose(sd[f"{base}.conv2.weight"], (2, 3, 1, 0)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(blk["conv2_offset"]["kernel"]),
+        np.transpose(sd[f"{base}.conv2.conv_offset.weight"], (2, 3, 1, 0)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(blk["conv2_offset"]["bias"]), sd[f"{base}.conv2.conv_offset.bias"]
+    )
+
+    # imported block still runs
+    out = block.apply({"params": jax.tree.map(jnp.asarray, blk)}, jnp.ones((1, 8, 8, 16)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_publish_cli(tmp_path, monkeypatch, capsys):
     import sys
 
