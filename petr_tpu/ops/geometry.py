@@ -39,6 +39,21 @@ def _sincos_interleave(pos: jax.Array, num_feats: int, temperature: float) -> ja
     )
 
 
+def _sincos_block(pos: jax.Array, num_feats: int, temperature: float) -> jax.Array:
+    """sin/cos embedding in BLOCK order: [sin(pos/t_k) for k | cos(pos/t_k) for k].
+
+    This is what the reference's ``SinePositionalEncoding3D`` actually emits
+    (`positional_encoding.py:90-99`): its ``torch.stack(..., dim=4)`` inserts
+    the pair axis BEFORE the frequency axis of the 5-d tensor, unlike
+    ``pos2posemb3d``'s ``dim=-1`` which interleaves. Checkpoint import of
+    ``adapt_pos3d`` requires matching this channel order exactly.
+    """
+    dim_t = jnp.arange(num_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2.0 * jnp.floor(dim_t / 2.0) / num_feats)
+    ang = pos[..., None] / dim_t  # (..., F)
+    return jnp.concatenate([jnp.sin(ang[..., 0::2]), jnp.cos(ang[..., 1::2])], axis=-1)
+
+
 def pos2posemb3d(
     pos: jax.Array, num_pos_feats: int = 128, temperature: float = 10000.0
 ) -> jax.Array:
@@ -178,7 +193,8 @@ def sine_posemb_2d_multiview(
         masks: (B, N, H, W) bool/int; nonzero = padded/ignored position.
     Returns:
         (B, N, H, W, 3*num_feats) fp32, channel order (n, y, x) to match
-        `positional_encoding.py:99`.
+        `positional_encoding.py:99`; each axis's feats in the reference's
+        block order [sins | coss] (see ``_sincos_block``).
     """
     not_mask = 1.0 - masks.astype(jnp.float32)
     n_embed = jnp.cumsum(not_mask, axis=1)
@@ -188,7 +204,7 @@ def sine_posemb_2d_multiview(
         n_embed = (n_embed + offset) / (n_embed[:, -1:, :, :] + eps) * scale
         y_embed = (y_embed + offset) / (y_embed[:, :, -1:, :] + eps) * scale
         x_embed = (x_embed + offset) / (x_embed[:, :, :, -1:] + eps) * scale
-    pos_n = _sincos_interleave(n_embed, num_feats, temperature)
-    pos_y = _sincos_interleave(y_embed, num_feats, temperature)
-    pos_x = _sincos_interleave(x_embed, num_feats, temperature)
+    pos_n = _sincos_block(n_embed, num_feats, temperature)
+    pos_y = _sincos_block(y_embed, num_feats, temperature)
+    pos_x = _sincos_block(x_embed, num_feats, temperature)
     return jnp.concatenate([pos_n, pos_y, pos_x], axis=-1)

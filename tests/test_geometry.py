@@ -122,11 +122,13 @@ def test_sine_posemb_2d_shapes_and_values():
     pe = np.asarray(sine_posemb_2d_multiview(jnp.asarray(masks), num_feats=8))
     assert pe.shape == (1, 2, 4, 5, 24)
     # all-valid mask: normalized cumsum -> row 0 of y equals 1/H * 2pi scaling
-    # spot check: the n-channel at camera 0 equals sin/cos of (1/2)*2pi / dim_t
+    # spot check: the n-channel at camera 0 equals sin/cos of (1/2)*2pi / dim_t,
+    # in the reference's block order [sins of even freqs | coss of odd freqs]
     dim_t = 10000.0 ** (2 * (np.arange(8) // 2) / 8)
     ang = (1.0 / (2.0 + 1e-6)) * 2 * np.pi / dim_t
     np.testing.assert_allclose(pe[0, 0, 0, 0, 0], np.sin(ang[0]), atol=1e-5)
-    np.testing.assert_allclose(pe[0, 0, 0, 0, 1], np.cos(ang[1]), atol=1e-5)
+    np.testing.assert_allclose(pe[0, 0, 0, 0, 4], np.cos(ang[1]), atol=1e-5)
+    np.testing.assert_allclose(pe[0, 0, 0, 0, 1], np.sin(ang[2]), atol=1e-5)
 
 
 def test_sine_posemb_mask_sensitivity():
