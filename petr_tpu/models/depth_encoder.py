@@ -140,7 +140,8 @@ class DepthGTEncoder(nn.Module):
                 self.embed_dim, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                 dtype=self.dtype, name=f"conv{i}",
             )(x)
-            x = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"gn{i}")(x)
+            # epsilon matches torch GroupNorm (flax defaults to 1e-6)
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name=f"gn{i}")(x)
             x = nn.relu(x)
 
         # weighted metric depth at the downscaled resolution

@@ -38,7 +38,19 @@ Dtype = Any
 
 
 class DepthrDecoderLayer(nn.Module):
-    """self_attn -> cross_depth_attn -> cross_view_attn -> ffn (post-norm)."""
+    """self_attn -> cross_depth_attn -> cross_view_attn -> ffn (post-norm).
+
+    Faithful to the reference's ACTUAL computation: in
+    `multi_atten_decoder_layer.py:269-282` the `cross_depth_attn` branch
+    rebinds ``key = value = depth_pos_embed``, so the `cross_view_attn` that
+    follows it in the shipped op order (config
+    `depthr_r50dcn_c5_512_1408_gtdepth.py:120-126`) ALSO attends over the
+    depth tokens — with the image positional embedding as its key PE — and
+    the image feature memory is never attended in the decoder at all. We
+    reproduce that (the fork's published oracle numbers come from this exact
+    graph); ``attend_memory=True`` restores the presumably-intended
+    cross-view attention over image features as an explicit design option.
+    """
 
     embed_dim: int = 256
     num_heads: int = 8
@@ -46,6 +58,7 @@ class DepthrDecoderLayer(nn.Module):
     dropout_rate: float = 0.1
     deterministic: bool = True
     dtype: Dtype = jnp.float32
+    attend_memory: bool = False
 
     @nn.compact
     def __call__(
@@ -81,12 +94,15 @@ class DepthrDecoderLayer(nn.Module):
         query = query + drop("drop_da")(da)
         query = nn.LayerNorm(dtype=self.dtype, name="norm2")(query)
 
+        # reference rebinding: unless attend_memory, cross_view keys/values
+        # are ALSO the depth tokens (image PE as key PE) — see class docstring
+        kv = memory if self.attend_memory else depth_tokens
         ca = MultiheadAttention(
             self.embed_dim, self.num_heads, self.dropout_rate, self.dtype, name="cross_view_attn"
         )(
             query + query_pos,
-            memory + key_pos,
-            memory,
+            kv + key_pos,
+            kv,
             key_padding_mask=key_padding_mask,
             deterministic=det,
         )
@@ -129,6 +145,9 @@ class DepthrHead(nn.Module):
     depth_map_max: float = 60.0
     depth_map_down_scale: int = 8
     depth_encoder_down_scale: int = 4
+    # False = reference-faithful (cross_view also attends depth tokens via
+    # the key/value rebinding quirk); True = attend the image memory
+    attend_memory: bool = False
 
     @nn.compact
     def __call__(
@@ -214,7 +233,7 @@ class DepthrHead(nn.Module):
         for i in range(self.num_layers):
             query = Layer(
                 self.embed_dim, self.num_heads, self.ffn_dim, self.dropout_rate,
-                self.deterministic, self.dtype, name=f"layer{i}",
+                self.deterministic, self.dtype, self.attend_memory, name=f"layer{i}",
             )(query, memory, query_pos, key_pos, depth_tokens, key_padding_mask)
             outs.append(post_norm(query))
         outs_dec = jnp.nan_to_num(jnp.stack(outs, axis=0))
