@@ -56,3 +56,42 @@ def test_pod_mesh_local_model_axis():
     mesh = make_pod_mesh(model_parallel=4)
     assert mesh.devices.shape == (2, 4)
     assert mesh.axis_names == ("data", "model")
+
+
+@pytest.mark.slow
+def test_grad_accum_composes_with_sharded_train_step():
+    """grad_accum's (B,...)->(A, B/A,...) interleaved micro-batch split must
+    compile and run when the batch axis is sharded over the data mesh axis
+    (the reshape crosses shard boundaries; XLA inserts the resharding)."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from petr_tpu.parallel.mesh import replicate
+    from petr_tpu.train.train_step import create_train_state, make_train_step
+    from tests.test_losses_train import tiny_batch, tiny_config
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, grad_accum=2))
+    batch = tiny_batch(B=4)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), 100, batch)
+
+    mesh = make_mesh(8)  # (data=2, model=4)
+    with jax.set_mesh(mesh):
+        state = replicate(state, mesh)
+        sharded = shard_batch(batch, mesh)
+        rng = jax.device_put(jax.random.PRNGKey(1), NamedSharding(mesh, P()))
+        step = jax.jit(
+            make_train_step(cfg),
+            in_shardings=(
+                jax.tree.map(
+                    lambda _: NamedSharding(mesh, P()), jax.eval_shape(lambda s: s, state)
+                ),
+                {k: NamedSharding(mesh, P("data")) for k in batch},
+                NamedSharding(mesh, P()),
+            ),
+        )
+        new_state, metrics = step(state, sharded, rng)
+        jax.block_until_ready(new_state.params)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
