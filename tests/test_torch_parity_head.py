@@ -294,3 +294,61 @@ def test_petr_head_matches_torch_reconstruction_via_converter():
     np.testing.assert_allclose(
         np.asarray(out["bbox_codes"]), ref_reg.numpy(), rtol=2e-4, atol=5e-4
     )
+
+
+def test_petr_head_gradients_match_torch():
+    """Backward parity: d(sum of outputs)/d(features) through the full head
+    (decoder, 3D PE path, branches) matches torch autograd on the
+    reconstruction — pins the training-path math, not just the forward."""
+    torch.manual_seed(3)
+    rng = np.random.RandomState(3)
+    B, N, H, W, Cin = 1, 2, 4, 6, 16
+    C, heads, F, L, Q, ncls, D = 256, 8, 64, 2, 12, 10, 4
+    pad_hw = (32, 48)
+    position_range = (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0)
+    pc_range = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+
+    tmodel = TorchPETRHead(
+        Cin, C, heads, F, L, Q, ncls, D, 10, position_range, pc_range
+    ).eval()
+    with torch.no_grad():
+        torch.nn.init.uniform_(tmodel.reference_points.weight, 0, 1)
+
+    feats = rng.randn(B, N, H, W, Cin).astype(np.float32)
+    from tests.test_heads import make_cams
+
+    img2lidar = make_cams(B, N, seed=2).astype(np.float32)
+    img_hw = np.full((B, N, 2), [32, 48], np.float32)
+
+    tfeats = torch.from_numpy(feats.transpose(0, 1, 4, 2, 3)).requires_grad_(True)
+    ref_cls, ref_reg = tmodel(
+        tfeats, torch.from_numpy(img2lidar), torch.from_numpy(img_hw), pad_hw
+    )
+    # velocity/size dims are unbounded; weight the scalar to keep grads O(1)
+    scalar = ref_cls.sum() * 0.1 + ref_reg[..., 0:2].sum()
+    scalar.backward()
+    want = tfeats.grad.numpy().transpose(0, 1, 3, 4, 2)
+
+    ours = PETRHead(
+        num_classes=ncls, in_channels=Cin, embed_dim=C, num_query=Q,
+        num_layers=L, num_heads=heads, ffn_dim=F, depth_num=D,
+        position_range=position_range, pc_range=pc_range,
+        dropout_rate=0.0, remat=False,
+    )
+    params = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(img2lidar),
+        jnp.asarray(img_hw), pad_hw,
+    )["params"]
+    sd = {f"pts_bbox_head.{k}": v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    new_params, stats = convert_state_dict(sd, {"head": params})
+    assert stats["skipped"] == 0 and stats["unfilled"] == 0
+
+    def scalar_fn(f):
+        out = ours.apply(
+            {"params": new_params["head"]}, f, jnp.asarray(img2lidar),
+            jnp.asarray(img_hw), pad_hw,
+        )
+        return (out["cls_logits"].sum() * 0.1 + out["bbox_codes"][..., 0:2].sum())
+
+    got = np.asarray(jax.grad(scalar_fn)(jnp.asarray(feats)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
