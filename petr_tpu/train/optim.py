@@ -90,12 +90,19 @@ def build_optimizer(
             weight_decay=cfg.weight_decay,
         )
 
+    labels = param_labels(params, freeze_backbone_bn_affine)
     tx = optax.multi_transform(
         {
             "main": adamw(1.0),
             "backbone": adamw(cfg.backbone_lr_mult),
             "frozen": optax.set_to_zero(),
         },
-        param_labels(params, freeze_backbone_bn_affine),
+        labels,
     )
-    return optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+    # Zero frozen-param grads BEFORE the global-norm clip: in the reference
+    # those params have requires_grad=False, so torch's clip_grad_norm_ never
+    # sees them — including them here would inflate the norm and change the
+    # clip factor whenever clipping engages.
+    frozen_mask = jax.tree.map(lambda l: l == "frozen", labels)
+    zero_frozen = optax.masked(optax.set_to_zero(), frozen_mask)
+    return optax.chain(zero_frozen, optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
