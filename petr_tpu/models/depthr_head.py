@@ -25,7 +25,7 @@ from petr_tpu.models.depth_encoder import (
     bin_depth_indices,
     gt_depth_maps,
 )
-from petr_tpu.models.layers import FFN, MLP, MultiheadAttention
+from petr_tpu.models.layers import FFN, MLP, MultiheadAttention, TorchLinear
 from petr_tpu.models.petr_head import ClsBranch, PositionEncoder, RegBranch
 from petr_tpu.ops.geometry import (
     inverse_sigmoid,
@@ -170,7 +170,7 @@ class DepthrHead(nn.Module):
         valid_x = xs[None, None, :] < img_hw[..., 1:2].astype(jnp.float32)
         masks = ~(valid_y[..., :, None] & valid_x[..., None, :])
 
-        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="input_proj")(feats)
+        x = TorchLinear(self.embed_dim, dtype=self.dtype, name="input_proj")(feats)
 
         coords3d, _ = position_coords_3d(
             H, W, float(pad_h), float(pad_w), img2lidar,

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from petr_tpu.models.layers import FFN, MLP, MultiheadAttention
+from petr_tpu.models.layers import (FFN, MLP, MultiheadAttention, TorchLinear,
+                                      torch_kernel_init, xavier_uniform)
 from petr_tpu.models.petr_head import ClsBranch, RegBranch
 from petr_tpu.ops.geometry import inverse_sigmoid
 from petr_tpu.ops.sampling import grid_sample_normalized
@@ -79,9 +80,12 @@ class Detr3DCrossAtten(nn.Module):
         L = len(feats)
         q_in = query + query_pos
 
-        weights = nn.Dense(N * L * self.num_points, dtype=self.dtype, name="attention_weights")(
-            q_in
-        )  # (B, Q, N*L*P)
+        # reference zero-inits the attention-weight predictor
+        # (`detr3d_transformer.py:306-308`: constant_init val=0, bias=0)
+        weights = nn.Dense(
+            N * L * self.num_points, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros, name="attention_weights",
+        )(q_in)  # (B, Q, N*L*P)
         weights = jax.nn.sigmoid(weights.astype(jnp.float32)).reshape(B, Q, N, L)
 
         uv, mask = project_reference_points(reference_points, lidar2img, self.pc_range, img_hw)
@@ -97,15 +101,17 @@ class Detr3DCrossAtten(nn.Module):
         w = w * mask[..., None, None].astype(jnp.float32)
         out = (samp * w).sum(axis=(1, 3))  # (B, Q, C)
 
-        out = nn.Dense(self.embed_dim, dtype=self.dtype, name="output_proj")(
-            out.astype(self.dtype)
-        )
+        # xavier_init(output_proj, 'uniform', bias=0) in the reference
+        out = nn.Dense(
+            self.embed_dim, dtype=self.dtype, kernel_init=xavier_uniform,
+            name="output_proj",
+        )(out.astype(self.dtype))
         out = nn.Dropout(self.dropout_rate, deterministic=self.deterministic, name="drop")(out)
 
         # reference-point embedding: Linear-LN-ReLU x2 on inverse_sigmoid(ref)
         pe = inverse_sigmoid(reference_points).astype(self.dtype)
         for i in range(2):
-            pe = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"pos_fc{i}")(pe)
+            pe = TorchLinear(self.embed_dim, dtype=self.dtype, name=f"pos_fc{i}")(pe)
             pe = nn.LayerNorm(dtype=self.dtype, name=f"pos_ln{i}")(pe)
             pe = nn.relu(pe)
         return out + query + pe
@@ -178,12 +184,17 @@ class Detr3DHead(nn.Module):
         query_pos = jnp.broadcast_to(query_pos[None], (B, self.num_query, C))
         query = jnp.broadcast_to(query[None], (B, self.num_query, C))
 
+        # reference xavier-inits the ref-point Linear (Detr3DTransformer
+        # init_weights `detr3d_transformer.py:117-124`)
         ref = jax.nn.sigmoid(
-            nn.Dense(3, dtype=jnp.float32, name="reference_points")(query_pos.astype(jnp.float32))
+            nn.Dense(
+                3, dtype=jnp.float32, kernel_init=xavier_uniform,
+                name="reference_points",
+            )(query_pos.astype(jnp.float32))
         )  # (B, Q, 3)
 
         proj = [
-            nn.Dense(C, dtype=self.dtype, name=f"input_proj{i}")(f.astype(self.dtype))
+            TorchLinear(C, dtype=self.dtype, name=f"input_proj{i}")(f.astype(self.dtype))
             for i, f in enumerate(feats)
         ]
 

@@ -11,6 +11,7 @@ Conventions:
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -18,6 +19,51 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+# torch nn.Linear / nn.Conv2d default kernel init: kaiming_uniform(a=sqrt(5))
+# == U(+-1/sqrt(fan_in)) == variance 1/(3*fan_in). The reference trains its
+# heads from scratch with these defaults (only the transformer gets the DETR
+# xavier pass and the cls bias its focal prior), so initialization parity
+# matters for training-recipe fidelity.
+torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+# DETR xavier pass (`petr_transformer.py:62-67`): xavier_uniform, bias 0.
+xavier_uniform = nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")
+# torch nn.MultiheadAttention packs q/k/v as one (3C, C) matrix and
+# xavier-uniforms it -> bound sqrt(6/(C+3C)); emulated per-projection.
+packed_qkv_init = nn.initializers.variance_scaling(0.5, "fan_avg", "uniform")
+
+
+def _torch_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchLinear(nn.Module):
+    """Dense with torch nn.Linear's DEFAULT initialization (kernel
+    kaiming_uniform(a=sqrt(5)), bias U(+-1/sqrt(fan_in))). Param layout is
+    identical to nn.Dense (kernel (in, out), bias (out,)) so checkpoints and
+    the torch importer are unaffected. ``bias_init`` overrides the bias
+    (e.g. the focal-prior constant of the final cls layer)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    bias_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        fan_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_kernel_init, (fan_in, self.features), jnp.float32
+        )
+        bias = self.param(
+            "bias", self.bias_init or _torch_bias_init(fan_in), (self.features,),
+            jnp.float32,
+        )
+        return x.astype(self.dtype) @ kernel.astype(self.dtype) + bias.astype(self.dtype)
 
 
 class FrozenBatchNorm(nn.Module):
@@ -194,7 +240,7 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, dtype=self.dtype, name=f"fc{i}")(x)
+            x = TorchLinear(f, dtype=self.dtype, name=f"fc{i}")(x)
             if i < len(self.features) - 1:
                 x = self.activation(x)
         return x
@@ -227,8 +273,13 @@ class MultiheadAttention(nn.Module):
         H = self.num_heads
         D = self.embed_dim // H
 
+        # torch MHA init parity: packed-xavier in_proj (bound sqrt(6/4C)),
+        # zero biases; out_proj gets the DETR xavier pass.
         def proj(name):
-            return nn.Dense(self.embed_dim, dtype=self.dtype, name=name)
+            return nn.Dense(
+                self.embed_dim, dtype=self.dtype, kernel_init=packed_qkv_init,
+                name=name,
+            )
 
         q = proj("q_proj")(query)
         k = proj("k_proj")(key)
@@ -270,7 +321,10 @@ class MultiheadAttention(nn.Module):
             attn = nn.Dropout(self.dropout_rate, deterministic=deterministic)(attn)
             out = jnp.einsum("bhql,blhd->bqhd", attn.astype(self.dtype), v)
         out = out.reshape(B, Q, self.embed_dim)
-        return nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")(out)
+        return nn.Dense(
+            self.embed_dim, dtype=self.dtype, kernel_init=xavier_uniform,
+            name="out_proj",
+        )(out)
 
 
 class FFN(nn.Module):
@@ -283,10 +337,11 @@ class FFN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
-        y = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        # DETR xavier pass covers the FFN linears (zero biases)
+        y = nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=xavier_uniform, name="fc1")(x)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout_rate, deterministic=deterministic)(y)
-        y = nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(y)
+        y = nn.Dense(self.embed_dim, dtype=self.dtype, kernel_init=xavier_uniform, name="fc2")(y)
         y = nn.Dropout(self.dropout_rate, deterministic=deterministic)(y)
         return y
 
@@ -300,7 +355,15 @@ class SELayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, gate_input: jax.Array) -> jax.Array:
-        g = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="conv_reduce")(gate_input)
+        # torch Conv2d default init (kaiming a=sqrt(5) + uniform bias)
+        def conv(name, fan_in):
+            return nn.Conv(
+                self.channels, (1, 1), dtype=self.dtype,
+                kernel_init=torch_kernel_init, bias_init=_torch_bias_init(fan_in),
+                name=name,
+            )
+
+        g = conv("conv_reduce", gate_input.shape[-1])(gate_input)
         g = nn.relu(g)
-        g = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="conv_expand")(g)
+        g = conv("conv_expand", self.channels)(g)
         return x * jax.nn.sigmoid(g)

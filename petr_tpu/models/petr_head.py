@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from petr_tpu.models.layers import MLP
+from petr_tpu.models.layers import MLP, TorchLinear, torch_kernel_init
 from petr_tpu.models.transformer import PETRTransformer
 from petr_tpu.ops.geometry import (
     inverse_sigmoid,
@@ -48,9 +48,9 @@ class PositionEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, coords3d: jax.Array) -> jax.Array:
-        x = nn.Dense(self.embed_dim * 4, dtype=self.dtype, name="fc1")(coords3d)
+        x = TorchLinear(self.embed_dim * 4, dtype=self.dtype, name="fc1")(coords3d)
         x = nn.relu(x)
-        return nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(x)
+        return TorchLinear(self.embed_dim, dtype=self.dtype, name="fc2")(x)
 
 
 class NormedLinear(nn.Module):
@@ -67,7 +67,7 @@ class NormedLinear(nn.Module):
     @nn.compact
     def __call__(self, x):
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.out), jnp.float32
+            "kernel", torch_kernel_init, (x.shape[-1], self.out), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros, (self.out,), jnp.float32)
         w = kernel / (
@@ -92,12 +92,12 @@ class ClsBranch(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_reg_fcs):
-            x = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"fc{i}")(x)
+            x = TorchLinear(self.embed_dim, dtype=self.dtype, name=f"fc{i}")(x)
             x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(x)
             x = nn.relu(x)
         if self.normed:
             return NormedLinear(self.out, dtype=self.dtype, name="out")(x)
-        return nn.Dense(
+        return TorchLinear(
             self.out,
             dtype=self.dtype,
             bias_init=nn.initializers.constant(-4.59511985013459),
@@ -116,9 +116,9 @@ class RegBranch(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_reg_fcs):
-            x = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"fc{i}")(x)
+            x = TorchLinear(self.embed_dim, dtype=self.dtype, name=f"fc{i}")(x)
             x = nn.relu(x)
-        return nn.Dense(self.out, dtype=self.dtype, name="out")(x)
+        return TorchLinear(self.out, dtype=self.dtype, name="out")(x)
 
 
 class PETRHead(nn.Module):
@@ -163,7 +163,7 @@ class PETRHead(nn.Module):
         masks = ~(valid_y[..., :, None] & valid_x[..., None, :])  # (B,N,H,W)
 
         # --- input projection ---------------------------------------------
-        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="input_proj")(feats)
+        x = TorchLinear(self.embed_dim, dtype=self.dtype, name="input_proj")(feats)
 
         # --- 3D position embedding (fp32) ---------------------------------
         coords3d, _ = position_coords_3d(

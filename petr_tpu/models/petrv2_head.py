@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from petr_tpu.models.layers import MLP, SELayer
+from petr_tpu.models.layers import MLP, SELayer, TorchLinear
 from petr_tpu.models.petr_head import ClsBranch, PositionEncoder, RegBranch
 from petr_tpu.models.transformer import PETRTransformer
 from petr_tpu.ops.geometry import (
@@ -101,7 +101,7 @@ class PETRv2Head(nn.Module):
         valid_x = xs[None, None, :] < img_hw[..., 1:2].astype(jnp.float32)
         masks = ~(valid_y[..., :, None] & valid_x[..., None, :])
 
-        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="input_proj")(feats)
+        x = TorchLinear(self.embed_dim, dtype=self.dtype, name="input_proj")(feats)
 
         coords3d, _ = position_coords_3d(
             H, W, float(pad_h), float(pad_w), img2lidar,

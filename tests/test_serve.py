@@ -200,8 +200,16 @@ def test_streaming_export_roundtrip(tmp_path):
     a0 = jax.device_get(run.step(img_a, i2l, hw, ts))
     a1 = jax.device_get(run.step(img_b, i2l, hw, ts))
     for r, a in ((r0, a0), (r1, a1)):
-        np.testing.assert_allclose(a["boxes"], r["boxes"], rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(a["scores"], r["scores"], rtol=1e-4, atol=1e-4)
+        # The artifact is a separate XLA compilation: the untrained model's
+        # scores are near-tied (focal prior), so top-k row ORDER is arbitrary
+        # across compilations. Compare the detection SET: every artifact box
+        # row must match some in-process row and vice versa.
+        rb = np.asarray(r["boxes"]).reshape(-1, r["boxes"].shape[-1])
+        ab = np.asarray(a["boxes"]).reshape(-1, a["boxes"].shape[-1])
+        d = np.abs(ab[:, None, :] - rb[None, :, :]).max(-1)
+        assert d.min(axis=1).max() < 1e-3, "artifact box not in reference set"
+        assert d.min(axis=0).max() < 1e-3, "reference box not in artifact set"
 
     # external-params artifact requires params at load
     pair2 = export_streaming(cfg, params, batch_size=1, embed_params=False)
