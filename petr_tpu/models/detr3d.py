@@ -108,10 +108,15 @@ class Detr3DCrossAtten(nn.Module):
         )(out.astype(self.dtype))
         out = nn.Dropout(self.dropout_rate, deterministic=self.deterministic, name="drop")(out)
 
-        # reference-point embedding: Linear-LN-ReLU x2 on inverse_sigmoid(ref)
+        # reference-point embedding: Linear-LN-ReLU x2 on inverse_sigmoid(ref).
+        # Detr3DTransformer's per-PARAMETER xavier pass (detr3d_transformer.py
+        # :73-77) covers these kernels; biases keep torch uniform defaults.
         pe = inverse_sigmoid(reference_points).astype(self.dtype)
         for i in range(2):
-            pe = TorchLinear(self.embed_dim, dtype=self.dtype, name=f"pos_fc{i}")(pe)
+            pe = TorchLinear(
+                self.embed_dim, dtype=self.dtype, kernel_init=xavier_uniform,
+                name=f"pos_fc{i}",
+            )(pe)
             pe = nn.LayerNorm(dtype=self.dtype, name=f"pos_ln{i}")(pe)
             pe = nn.relu(pe)
         return out + query + pe
@@ -143,9 +148,11 @@ class Detr3DDecoderLayer(nn.Module):
         )(query, query_pos, feats, reference_points, lidar2img, img_hw)
         query = nn.LayerNorm(dtype=self.dtype, name="norm2")(query)
 
-        query = query + FFN(self.ffn_dim, self.embed_dim, self.dropout_rate, self.dtype, name="ffn")(
-            query, deterministic=det
-        )
+        # per-parameter xavier pass skips biases -> torch uniform defaults
+        query = query + FFN(
+            self.ffn_dim, self.embed_dim, self.dropout_rate, self.dtype,
+            torch_bias=True, name="ffn",
+        )(query, deterministic=det)
         query = nn.LayerNorm(dtype=self.dtype, name="norm3")(query)
         return query
 

@@ -150,8 +150,10 @@ class DGCNN3DHead(nn.Module):
                     C, self.num_heads, self.dropout_rate, self.dtype, name=f"layer{lvl}_cross"
                 )(query + query_pos, tokens, tokens, deterministic=self.deterministic)
             query = nn.LayerNorm(dtype=self.dtype, name=f"layer{lvl}_norm2")(query + ca)
+            # Deformable-DETR-style per-parameter xavier pass skips biases
             query = query + FFN(
-                self.ffn_dim, C, self.dropout_rate, self.dtype, name=f"layer{lvl}_ffn"
+                self.ffn_dim, C, self.dropout_rate, self.dtype,
+                torch_bias=True, name=f"layer{lvl}_ffn",
             )(query, deterministic=self.deterministic)
             query = nn.LayerNorm(dtype=self.dtype, name=f"layer{lvl}_norm3")(query)
 

@@ -52,12 +52,17 @@ class TorchLinear(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     bias_init: Optional[Callable] = None
+    kernel_init: Optional[Callable] = None  # e.g. xavier_uniform where a
+    #                                         per-PARAMETER xavier pass runs
+    #                                         (Detr3D) but biases keep torch
+    #                                         defaults
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         fan_in = x.shape[-1]
         kernel = self.param(
-            "kernel", torch_kernel_init, (fan_in, self.features), jnp.float32
+            "kernel", self.kernel_init or torch_kernel_init,
+            (fan_in, self.features), jnp.float32,
         )
         bias = self.param(
             "bias", self.bias_init or _torch_bias_init(fan_in), (self.features,),
@@ -334,14 +339,26 @@ class FFN(nn.Module):
     embed_dim: int
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
+    # PETR's module-based xavier_init zeroes FFN biases; Detr3D's
+    # per-PARAMETER xavier pass (detr3d_transformer.py:73-77) skips biases,
+    # leaving torch uniform defaults — set torch_bias=True there.
+    torch_bias: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
-        # DETR xavier pass covers the FFN linears (zero biases)
-        y = nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=xavier_uniform, name="fc1")(x)
+        def binit(fan_in):
+            return _torch_bias_init(fan_in) if self.torch_bias else nn.initializers.zeros
+
+        y = nn.Dense(
+            self.hidden_dim, dtype=self.dtype, kernel_init=xavier_uniform,
+            bias_init=binit(x.shape[-1]), name="fc1",
+        )(x)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout_rate, deterministic=deterministic)(y)
-        y = nn.Dense(self.embed_dim, dtype=self.dtype, kernel_init=xavier_uniform, name="fc2")(y)
+        y = nn.Dense(
+            self.embed_dim, dtype=self.dtype, kernel_init=xavier_uniform,
+            bias_init=binit(self.hidden_dim), name="fc2",
+        )(y)
         y = nn.Dropout(self.dropout_rate, deterministic=deterministic)(y)
         return y
 

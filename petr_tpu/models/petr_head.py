@@ -21,7 +21,7 @@ instead. Controlled by ``shared_branches``.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,13 +63,14 @@ class NormedLinear(nn.Module):
     power: float = 1.0
     eps: float = 1e-6
     dtype: Dtype = jnp.float32
+    bias_init: Callable = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x):
         kernel = self.param(
             "kernel", torch_kernel_init, (x.shape[-1], self.out), jnp.float32
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.out,), jnp.float32)
+        bias = self.param("bias", self.bias_init, (self.out,), jnp.float32)
         w = kernel / (
             jnp.power(jnp.linalg.norm(kernel, axis=0, keepdims=True), self.power) + self.eps
         )
@@ -96,7 +97,13 @@ class ClsBranch(nn.Module):
             x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(x)
             x = nn.relu(x)
         if self.normed:
-            return NormedLinear(self.out, dtype=self.dtype, name="out")(x)
+            # reference applies the focal-prior bias to m[-1] whether it is a
+            # Linear or a NormedLinear (petr_head.py:282-284)
+            return NormedLinear(
+                self.out, dtype=self.dtype,
+                bias_init=nn.initializers.constant(-4.59511985013459),
+                name="out",
+            )(x)
         return TorchLinear(
             self.out,
             dtype=self.dtype,

@@ -72,6 +72,52 @@ def test_ffn_init_is_xavier():
     np.testing.assert_allclose(kstd, b1 / np.sqrt(3), rtol=0.05)
 
 
+def test_ffn_bias_modes():
+    """PETR's module-based xavier pass zeroes FFN biases; Detr3D's
+    per-PARAMETER pass skips biases (torch uniform defaults stay)."""
+    C, F = 64, 128
+    p0 = FFN(F, C).init(jax.random.PRNGKey(0), jnp.zeros((1, 4, C)))["params"]
+    assert np.all(np.asarray(p0["fc1"]["bias"]) == 0)
+    assert np.all(np.asarray(p0["fc2"]["bias"]) == 0)
+
+    p1 = FFN(F, C, torch_bias=True).init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 4, C))
+    )["params"]
+    for name, fan_in in (("fc1", C), ("fc2", F)):
+        bias = np.asarray(p1[name]["bias"])
+        bound = 1.0 / np.sqrt(fan_in)
+        assert 0 < np.abs(bias).max() <= bound + 1e-7
+        # kernels stay xavier in both modes
+        kmax, _ = _bounds_and_std(p1[name]["kernel"])
+        assert kmax <= np.sqrt(6.0 / (C + F)) + 1e-7
+
+
+def test_torch_linear_kernel_override_keeps_torch_bias():
+    """Detr3D per-parameter xavier covers kernels only (pos_fc MLP)."""
+    from petr_tpu.models.layers import xavier_uniform
+
+    fan_in, out = 48, 96
+    lin = TorchLinear(out, kernel_init=xavier_uniform)
+    p = lin.init(jax.random.PRNGKey(0), jnp.zeros((2, fan_in)))["params"]
+    kb = np.sqrt(6.0 / (fan_in + out))
+    kmax, kstd = _bounds_and_std(p["kernel"])
+    assert kmax <= kb + 1e-7
+    np.testing.assert_allclose(kstd, kb / np.sqrt(3), rtol=0.07)
+    bias = np.asarray(p["bias"])
+    bb = 1.0 / np.sqrt(fan_in)
+    assert 0 < np.abs(bias).max() <= bb + 1e-7
+
+
+def test_normed_linear_gets_focal_prior_bias():
+    """reference petr_head.py:282-284 sets m[-1].bias to the focal prior even
+    when the final layer is a NormedLinear."""
+    from petr_tpu.models.petr_head import ClsBranch
+
+    cls = ClsBranch(32, 2, 10, normed=True)
+    p = cls.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 32)))["params"]
+    np.testing.assert_allclose(np.asarray(p["out"]["bias"]), -4.59511985013459)
+
+
 def test_cls_branch_focal_prior_and_detr3d_zero_weights():
     from petr_tpu.models.detr3d import Detr3DCrossAtten
     from petr_tpu.models.petr_head import ClsBranch
