@@ -85,7 +85,7 @@ def run_streaming_inference(cfg, params, ds, quant_scales=None):
         ))
         preds[smp["token"]] = boxes_from_arrays(
             smp["token"], det["boxes"][0], det["scores"][0],
-            det["labels"][0], det["valid"][0],
+            det["labels"][0], det["valid"][0], info=ds.infos[i],
         )
         prev_info = ds.infos[i]
     wall = time.time() - t0
@@ -150,13 +150,15 @@ def main():
     else:
         t0 = time.time()
         n = 0
+        info_by_token = {info["token"]: info for info in ds.infos}
         for batch in loader.epoch(0):
             tokens = batch.pop("tokens")
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             det = jax.device_get(eval_step(params, jb))
             for i, tok in enumerate(tokens):
                 preds[tok] = boxes_from_arrays(
-                    tok, det["boxes"][i], det["scores"][i], det["labels"][i], det["valid"][i]
+                    tok, det["boxes"][i], det["scores"][i], det["labels"][i],
+                    det["valid"][i], info=info_by_token.get(tok),
                 )
             n += len(tokens)
         wall = time.time() - t0

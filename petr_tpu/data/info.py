@@ -101,20 +101,33 @@ def build_infos(
     data_root: str,
     version: str = "v1.0-trainval",
     max_prev_frames: int = 30,
+    *,
+    nusc=None,
+    train_scenes: Optional[List[str]] = None,
+    val_scenes: Optional[List[str]] = None,
 ) -> Dict[str, List[Dict]]:
-    """Build train/val info lists. Needs nuscenes-devkit + raw data."""
-    from nuscenes.nuscenes import NuScenes  # gated import
-    from nuscenes.utils import splits
+    """Build train/val info lists.
 
-    nusc = NuScenes(version=version, dataroot=data_root, verbose=False)
-    if version == "v1.0-trainval":
-        train_scenes, val_scenes = splits.train, splits.val
-    elif version == "v1.0-mini":
-        train_scenes, val_scenes = splits.mini_train, splits.mini_val
-    elif version == "v1.0-test":
-        train_scenes, val_scenes = splits.test, []
-    else:
-        raise ValueError(version)
+    Needs the nuscenes-devkit + raw data in production; ``nusc`` /
+    ``train_scenes`` / ``val_scenes`` can be injected (any object with the
+    devkit's ``get`` / ``sample`` / ``scene`` / ``box_velocity`` surface)
+    so the builder is unit-testable without the devkit.
+    """
+    if nusc is None:
+        from nuscenes.nuscenes import NuScenes  # gated import
+
+        nusc = NuScenes(version=version, dataroot=data_root, verbose=False)
+    if train_scenes is None or val_scenes is None:
+        from nuscenes.utils import splits
+
+        if version == "v1.0-trainval":
+            train_scenes, val_scenes = splits.train, splits.val
+        elif version == "v1.0-mini":
+            train_scenes, val_scenes = splits.mini_train, splits.mini_val
+        elif version == "v1.0-test":
+            train_scenes, val_scenes = splits.test, []
+        else:
+            raise ValueError(version)
 
     scene_name = {s["token"]: s["name"] for s in nusc.scene}
     train_infos, val_infos = [], []
@@ -142,45 +155,45 @@ def build_infos(
                 prev_tokens[cam] = nusc.get("sample_data", prev_tokens[cam])["prev"]
             sweeps_cams.append(frame)
 
-        # GT in lidar frame
+        # GT in lidar frame (pure-numpy equivalent of the devkit Box
+        # translate/rotate chain: p_l = (R_le R_l)^T (p_g - t_le - R_le t_l),
+        # R_box_l = (R_le R_l)^T R_box_g, yaw = atan2(R[1,0], R[0,0]) — the
+        # ZYX yaw pyquaternion's yaw_pitch_roll[0] returns)
+        l_cs = nusc.get("calibrated_sensor", lidar_sd["calibrated_sensor_token"])
+        l_pose = nusc.get("ego_pose", lidar_sd["ego_pose_token"])
+        R_l = _quat_to_rot(l_cs["rotation"])
+        t_l = np.asarray(l_cs["translation"], float)
+        R_le = _quat_to_rot(l_pose["rotation"])
+        t_le = np.asarray(l_pose["translation"], float)
+        R_g2l = (R_le @ R_l).T
+
         boxes, labels, vels, valid, attrs, npts = [], [], [], [], [], []
         for ann_token in sample["anns"]:
             ann = nusc.get("sample_annotation", ann_token)
             mapped = NAME_MAPPING.get(ann["category_name"])
             if mapped is None or mapped not in NUSCENES_CLASSES:
                 continue
-            box = nusc.get_box(ann_token)
-            # global -> lidar frame
-            l_cs = nusc.get("calibrated_sensor", lidar_sd["calibrated_sensor_token"])
-            l_pose = nusc.get("ego_pose", lidar_sd["ego_pose_token"])
-            from pyquaternion import Quaternion
-
-            box.translate(-np.array(l_pose["translation"]))
-            box.rotate(Quaternion(l_pose["rotation"]).inverse)
-            box.translate(-np.array(l_cs["translation"]))
-            box.rotate(Quaternion(l_cs["rotation"]).inverse)
-            yaw = box.orientation.yaw_pitch_roll[0]
+            center = R_g2l @ (np.asarray(ann["translation"], float) - t_le - R_le @ t_l)
+            R_box = R_g2l @ _quat_to_rot(ann["rotation"])
+            yaw = float(np.arctan2(R_box[1, 0], R_box[0, 0]))
             # mmdet3d box convention: (x, y, z_bottom, w, l, h, yaw) with
             # dims reordered (wlh -> w, l, h as stored by the converter:
             # gt_boxes uses box.wlh[[1,0,2]] and yaw = -yaw - pi/2 in
             # mmdet3d 0.17's LiDAR convention)
-            w, l, h = box.wlh
+            w, l, h = np.asarray(ann["size"], float)
             boxes.append(
                 [
-                    box.center[0],
-                    box.center[1],
-                    box.center[2] - h / 2.0,
+                    center[0],
+                    center[1],
+                    center[2] - h / 2.0,
                     w,
                     l,
                     h,
                     -yaw - np.pi / 2.0,
                 ]
             )
-            v = nusc.box_velocity(ann_token)[:2]
-            R_l = _quat_to_rot(l_cs["rotation"])
-            R_le = _quat_to_rot(l_pose["rotation"])
-            v3 = np.array([v[0], v[1], 0.0])
-            v3 = (R_le @ R_l).T @ v3
+            v = np.nan_to_num(np.asarray(nusc.box_velocity(ann_token), float))[:2]
+            v3 = R_g2l @ np.array([v[0], v[1], 0.0])
             vels.append(v3[:2])
             labels.append(NUSCENES_CLASSES.index(mapped))
             valid.append(ann["num_lidar_pts"] + ann["num_radar_pts"] > 0)
@@ -191,11 +204,17 @@ def build_infos(
             else:
                 attrs.append("")
 
+        l_cs_rec = nusc.get("calibrated_sensor", lidar_sd["calibrated_sensor_token"])
         info = {
             "token": sample["token"],
             "scene_token": sample["scene_token"],
             "timestamp": sample["timestamp"] / 1e6,
             "lidar_path": lidar_sd["filename"],
+            # lidar->ego calibration: the metric evaluator's class-range
+            # filter measures box distance from the EGO origin (devkit
+            # `filter_eval_boxes` conformance)
+            "lidar2ego_translation": np.asarray(l_cs_rec["translation"], np.float64),
+            "lidar2ego_rotation": np.asarray(l_cs_rec["rotation"], np.float64),
             "cams": cams,
             "sweeps_cams": sweeps_cams,
             "gt_boxes": np.asarray(boxes, np.float64).reshape(-1, 7),

@@ -9,6 +9,21 @@ without the devkit. Distances/errors are computed in the lidar frame, which
 is equivalent to the devkit's global frame for all the metrics used
 (rigid-transform invariant).
 
+Devkit-conformance notes:
+  * classes with no GT anywhere are scored like the devkit's
+    `DetectionMetricData.no_predictions()` — AP 0 and TP errors 1.0 are
+    INCLUDED in mAP / the mean TP errors (this is why tiny synthetic evals
+    that cover few classes report low absolute numbers; pass a restricted
+    ``classes`` tuple to score only the classes present).
+  * the per-class eval-range filter uses the box's distance from the EGO
+    frame origin when ``ego_dist`` is set (devkit `filter_eval_boxes` uses
+    the global-frame xy displacement from the ego pose; the ego-frame xy
+    norm differs only by vehicle roll/pitch — centimeters). When ``ego_dist``
+    is absent it falls back to the lidar-origin distance (~1 m bias: the
+    LIDAR_TOP mount offset).
+  * the devkit's bikes-in-bike-rack GT removal needs the map layer and is
+    not reproduced.
+
 Inputs are plain per-sample lists of DetectionBox, so this evaluates both our
 model outputs and imported reference results identically.
 """
@@ -17,7 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 from collections import defaultdict
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -53,6 +68,7 @@ class DetectionBox:
     score: float = -1.0
     attr: str = ""
     num_pts: int = -1  # GT only; -1 = unknown
+    ego_dist: float = -1.0  # xy distance from the ego origin; -1 = unknown
 
 
 def _center_dist(a: DetectionBox, b: DetectionBox) -> float:
@@ -81,9 +97,14 @@ def _vel_err(a: DetectionBox, b: DetectionBox) -> float:
 def _cummean(x: np.ndarray) -> np.ndarray:
     if len(x) == 0:
         return x
+    x = x.astype(float)
+    # official devkit `cummean`: an all-NaN series (e.g. attribute errors
+    # when every matched GT lacks an attribute) is the WORST case -> ones
+    if np.isnan(x).all():
+        return np.ones(len(x))
     # official: ignore NaNs (attribute errors on unlabeled GTs)
-    sum_vals = np.nancumsum(x.astype(float))
-    count_vals = np.cumsum(~np.isnan(x.astype(float)))
+    sum_vals = np.nancumsum(x)
+    count_vals = np.cumsum(~np.isnan(x))
     return np.divide(sum_vals, count_vals, out=np.zeros_like(sum_vals), where=count_vals > 0)
 
 
@@ -92,7 +113,8 @@ def _filter(boxes: Sequence[DetectionBox], is_gt: bool) -> List[DetectionBox]:
     for b in boxes:
         if b.name not in CLS_RANGE:
             continue
-        if float(np.hypot(b.center[0], b.center[1])) > CLS_RANGE[b.name]:
+        dist = b.ego_dist if b.ego_dist >= 0 else float(np.hypot(b.center[0], b.center[1]))
+        if dist > CLS_RANGE[b.name]:
             continue
         if is_gt and b.num_pts == 0:
             continue
@@ -107,11 +129,16 @@ def _accumulate(
     dist_th: float,
 ):
     """Official `accumulate`: returns interpolated precision + TP-error
-    curves on the 101-point recall grid, or None when no GT."""
+    curves on the 101-point recall grid.
+
+    A class with no GT anywhere returns the devkit's
+    `DetectionMetricData.no_predictions()` equivalent (precision 0,
+    confidence 0, TP errors 1) — it is NOT skipped; the zeros/ones flow
+    into mAP and the mean TP errors exactly as in the devkit."""
     cls_gts = {tok: [g for g in boxes if g.name == cls] for tok, boxes in gts.items()}
     npos = sum(len(v) for v in cls_gts.values())
     if npos == 0:
-        return None
+        return _NO_PREDICTIONS()
 
     cls_preds = [p for boxes in preds.values() for p in boxes if p.name == cls]
     cls_preds.sort(key=lambda p: -p.score)
@@ -150,11 +177,7 @@ def _accumulate(
 
     if len(match_data["conf"]) == 0:
         # no matches at all: AP 0, TP errors undefined -> worst (1.0)
-        return {
-            "precision": np.zeros(N_INTERP),
-            "recall_max": 0.0,
-            **{k: np.ones(N_INTERP) for k in ("trans_err", "scale_err", "orient_err", "vel_err", "attr_err")},
-        }
+        return _NO_PREDICTIONS()
 
     tp_c = np.cumsum(tp).astype(float)
     fp_c = np.cumsum(fp).astype(float)
@@ -165,13 +188,24 @@ def _accumulate(
     prec_i = np.interp(rec_interp, rec, prec, right=0)
     conf_i = np.interp(rec_interp, rec, conf, right=0)
 
-    out = {"precision": prec_i, "recall_max": float(rec[-1])}
+    out = {"precision": prec_i, "confidence": conf_i}
     for key in ("trans_err", "scale_err", "orient_err", "vel_err", "attr_err"):
         vals = _cummean(np.asarray(match_data[key], float))
         mconf = np.asarray(match_data["conf"], float)
         # interpolate cumulative means onto the recall grid via confidence
         out[key] = np.interp(conf_i[::-1], mconf[::-1], vals[::-1])[::-1]
     return out
+
+
+def _NO_PREDICTIONS():
+    """Devkit `DetectionMetricData.no_predictions()`: precision/confidence 0,
+    every TP error 1."""
+    return {
+        "precision": np.zeros(N_INTERP),
+        "confidence": np.zeros(N_INTERP),
+        **{k: np.ones(N_INTERP)
+           for k in ("trans_err", "scale_err", "orient_err", "vel_err", "attr_err")},
+    }
 
 
 def _calc_ap(md) -> float:
@@ -184,7 +218,11 @@ def _calc_ap(md) -> float:
 
 def _calc_tp(md, name: str) -> float:
     first = round(100 * MIN_RECALL) + 1
-    last = int(round(100 * md["recall_max"]))  # max achieved recall index
+    # devkit `max_recall_ind`: the LAST index with nonzero interpolated
+    # confidence (not round(100*max_recall) — interp zeroes strictly beyond
+    # max recall, so these differ by one grid point at the boundary)
+    nonzero = np.nonzero(md["confidence"])[0]
+    last = int(nonzero[-1]) if len(nonzero) else 0
     if last < first:
         return 1.0
     return float(np.mean(md[name][first : last + 1]))
@@ -203,15 +241,17 @@ def evaluate_detections(
         dict with mAP, NDS, per-class AP, and the five mean TP errors.
     """
     gts = {tok: _filter(v, is_gt=True) for tok, v in gts.items()}
-    preds = {tok: _filter(v, is_gt=False)[:500] for tok, v in preds.items()}
+    # devkit asserts <=500 boxes/sample; we keep the highest-scoring 500
+    preds = {
+        tok: sorted(_filter(v, is_gt=False), key=lambda b: -b.score)[:500]
+        for tok, v in preds.items()
+    }
 
     ap: Dict[str, Dict[float, float]] = defaultdict(dict)
     tp_err: Dict[str, Dict[str, float]] = defaultdict(dict)
     for cls in classes:
         for dist_th in DIST_THRESHOLDS:
             md = _accumulate(gts, preds, cls, dist_th)
-            if md is None:
-                continue
             ap[cls][dist_th] = _calc_ap(md)
             if dist_th == TP_DIST:
                 for name in ("trans_err", "scale_err", "orient_err", "vel_err", "attr_err"):
@@ -245,6 +285,29 @@ def evaluate_detections(
     return results
 
 
+def _ego_dist_fn(info: Optional[dict]):
+    """xy distance from the ego origin for a lidar-frame point, when the
+    info record carries the lidar->ego calibration (devkit `ego_dist`
+    conformance for the class-range filter); else -1 (unknown)."""
+    if not info or "lidar2ego_translation" not in info:
+        return lambda center: -1.0
+    t = np.asarray(info["lidar2ego_translation"], float)
+    R = np.asarray(info["lidar2ego_rotation"], float)
+    if R.shape != (3, 3):  # stored as a quaternion (w, x, y, z)
+        w, x, y, z = R
+        R = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+
+    def fn(center):
+        p = R @ np.asarray(center, float) + t
+        return float(np.hypot(p[0], p[1]))
+
+    return fn
+
+
 def boxes_from_arrays(
     sample_token: str,
     boxes: np.ndarray,  # (K, 9) gravity-center
@@ -252,9 +315,11 @@ def boxes_from_arrays(
     labels: np.ndarray,
     valid: np.ndarray,
     classes: Sequence[str] = NUSCENES_CLASSES,
+    info: Optional[dict] = None,  # sample info record, for ego_dist
 ) -> List[DetectionBox]:
     """Model outputs -> DetectionBoxes with the standard attribute heuristic
     (mmdet3d submission convention)."""
+    ego_dist = _ego_dist_fn(info)
     out = []
     default_attr = {
         "car": "vehicle.parked", "truck": "vehicle.parked", "bus": "vehicle.moving",
@@ -283,6 +348,7 @@ def boxes_from_arrays(
                 name=name,
                 score=float(scores[k]),
                 attr=attr,
+                ego_dist=ego_dist(boxes[k, :3]),
             )
         )
     return out
@@ -296,6 +362,7 @@ def ground_truth_from_infos(
     gts: Dict[str, List[DetectionBox]] = {}
     for info in infos:
         tok = info["token"]
+        ego_dist = _ego_dist_fn(info)
         boxes = np.asarray(info["gt_boxes"], float).reshape(-1, 7)
         vel = np.nan_to_num(
             np.asarray(info.get("gt_velocity", np.zeros((len(boxes), 2))), float)
@@ -313,6 +380,7 @@ def ground_truth_from_infos(
                 name=classes[labels[i]],
                 attr=attrs[i] if i < len(attrs) else "",
                 num_pts=int(npts[i]) if i < len(npts) else 10,
+                ego_dist=ego_dist([b[0], b[1], b[2] + b[5] / 2]),
             )
             for i, b in enumerate(boxes)
         ]

@@ -26,6 +26,7 @@ def evaluate_model(cfg, params, ds, batch_size: int = 1) -> Dict[str, float]:
 
     loader = Loader(ds, batch_size, shuffle=False, drop_last=False)
     eval_step = jax.jit(make_eval_step(cfg))
+    info_by_token = {info["token"]: info for info in ds.infos}
     preds = {}
     for batch in loader.epoch(0):
         tokens = batch.pop("tokens")
@@ -35,6 +36,7 @@ def evaluate_model(cfg, params, ds, batch_size: int = 1) -> Dict[str, float]:
             preds[tok] = boxes_from_arrays(
                 tok, det["boxes"][i], det["scores"][i],
                 det["labels"][i], det["valid"][i],
+                info=info_by_token.get(tok),
             )
     gts = ground_truth_from_infos(ds.infos)
     return evaluate_detections(gts, preds)
