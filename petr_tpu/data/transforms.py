@@ -187,11 +187,14 @@ def photometric_distortion(
         b = np.choose(i, [p, p, t, v, v, q])
         return np.stack([b, g, r], -1)
 
-    if rng.integers(2) or rng.integers(2):
+    # mmdet gates saturation and hue independently at 1/2 each (it always
+    # round-trips through HSV); skip the conversion only when neither fires
+    do_sat, do_hue = bool(rng.integers(2)), bool(rng.integers(2))
+    if do_sat or do_hue:
         h, s, v = to_hsv(np.clip(img, 0, 255) / 255.0)
-        if rng.integers(2):
+        if do_sat:
             s = np.clip(s * rng.uniform(*saturation_range), 0, 1)
-        if rng.integers(2):
+        if do_hue:
             h = (h + rng.uniform(-hue_delta, hue_delta) / 360.0) % 1.0
         img = to_bgr(h, s, v) * 255.0
     if not contrast_first and rng.integers(2):
