@@ -47,7 +47,6 @@ def main():
     #    and amortize the RTT to <2% of the measurement.
     SCAN_LEN = 20
 
-    @jax.jit
     def forward_chain(params, images, img2lidar, img_hw):
         def body(carry, _):
             out = model.apply(
@@ -58,9 +57,14 @@ def main():
         carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=SCAN_LEN)
         return carry
 
+    # AOT compile so the same executable serves timing AND cost analysis
+    compiled = jax.jit(forward_chain).lower(
+        params, batch["images"], batch["img2lidar"], batch["img_hw"]
+    ).compile()
+
     def run(i):
         b = batches[i % len(batches)]
-        return float(forward_chain(params, b["images"], b["img2lidar"], b["img_hw"]))
+        return float(compiled(params, b["images"], b["img2lidar"], b["img_hw"]))
 
     # warmup (includes compile)
     for i in range(2):
@@ -74,6 +78,13 @@ def main():
 
     fps = iters * SCAN_LEN * B / dt
     baseline = 3.0  # samples/s per reference GPU (see module docstring)
+
+    # MFU: achieved TFLOP/s vs the chip's peak matmul rate (falsifiable
+    # "fast"; regressions show up as mfu_pct drops)
+    from petr_tpu.utils.mfu import compiled_flops, mfu_fields
+
+    chain_flops = compiled_flops(compiled)
+    per_sample = chain_flops / (SCAN_LEN * B) if chain_flops else None
     print(
         json.dumps(
             {
@@ -81,6 +92,7 @@ def main():
                 "value": round(fps, 3),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(fps / baseline, 3),
+                **mfu_fields(per_sample, fps),
             }
         )
     )

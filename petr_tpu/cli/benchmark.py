@@ -56,12 +56,14 @@ def main():
 
     if args.train:
         state = create_train_state(cfg, jax.random.PRNGKey(0), 1000, batch)
-        step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
         rng = jax.random.PRNGKey(1)
+        compiled = jax.jit(make_train_step(cfg), donate_argnums=(0,)).lower(
+            state, batch, rng
+        ).compile()
 
         def run(i=0):
             nonlocal state
-            state, m = step(state, batches[i % len(batches)], rng)
+            state, m = compiled(state, batches[i % len(batches)], rng)
             # host value read: the remote-execution relay completes lazily —
             # block_until_ready alone under-counts wall time
             return float(m["loss"])
@@ -94,11 +96,11 @@ def main():
             )
             return out["cls_logits"].sum()
 
-        fwd = jax.jit(fwd_fn)
         params = variables["params"]
+        compiled = jax.jit(fwd_fn).lower(params, batch).compile()
 
         def run(i=0):
-            return float(fwd(params, batches[i % len(batches)]))
+            return float(compiled(params, batches[i % len(batches)]))
 
     for i in range(args.warmup):
         run(i)
@@ -108,13 +110,19 @@ def main():
         run(i)
     dt = time.perf_counter() - t0
     mode = "train" if args.train else "inference"
+
+    from petr_tpu.utils.mfu import compiled_flops, mfu_fields
+
+    flops = compiled_flops(compiled)
+    fps = args.iters * B / dt
     print(
         json.dumps(
             {
                 "metric": f"{args.config}_{mode}",
-                "value": round(args.iters * B / dt, 3),
+                "value": round(fps, 3),
                 "unit": "samples/s",
                 "ms_per_iter": round(1000 * dt / args.iters, 2),
+                **mfu_fields(flops / B if flops else None, fps),
             }
         )
     )

@@ -17,7 +17,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def parse_args():
@@ -172,26 +171,11 @@ def main():
         print(f"{k}: {v:.4f}")
 
     if args.out:
-        sub = {
-            "meta": {"use_camera": True, "use_lidar": False, "use_radar": False,
-                     "use_map": False, "use_external": False},
-            "results": {
-                tok: [
-                    {
-                        "sample_token": d.sample_token,
-                        "translation": list(map(float, d.center)),
-                        "size": list(map(float, d.size)),
-                        "rotation": [float(np.cos(d.yaw / 2)), 0.0, 0.0, float(np.sin(d.yaw / 2))],
-                        "velocity": list(map(float, d.velocity)),
-                        "detection_name": d.name,
-                        "detection_score": d.score,
-                        "attribute_name": d.attr,
-                    }
-                    for d in boxes
-                ]
-                for tok, boxes in preds.items()
-            },
-        }
+        # official submission schema: GLOBAL-frame boxes (upstream mmdet3d
+        # lidar_nusc_box_to_global; see petr_tpu/metrics/submission.py)
+        from petr_tpu.metrics.submission import build_submission
+
+        sub = build_submission(preds, ds.infos)
         with open(args.out, "w") as f:
             json.dump(sub, f)
         print(f"wrote {args.out}")

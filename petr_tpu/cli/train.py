@@ -225,19 +225,19 @@ def main():
             if is_main:
                 print(f"epoch {epoch} done; checkpoint saved")
             if args.eval_infos and (epoch + 1) % max(args.eval_interval, 1) == 0:
-                if n_proc > 1:
-                    if is_main:
-                        print("in-training eval is single-process; skipping "
-                              "(run cli.test on the checkpoint instead)")
-                else:
-                    from petr_tpu.train.evaluate import evaluate_model
+                # mmcv EvalHook-under-DDP capability: ALL processes enter
+                # (the gather inside is a collective); each decodes its
+                # stride of the val split, everyone gets full metrics,
+                # only the main process logs.
+                from petr_tpu.train.evaluate import evaluate_model_multiprocess
 
-                    val_ds = NuScenesDataset.from_pkl(
-                        args.eval_infos, cfg.data, training=False,
-                        data_root=args.data_root,
-                    )
-                    results = {f"val/{k}": float(v) for k, v in
-                               evaluate_model(cfg, state.params, val_ds).items()}
+                val_ds = NuScenesDataset.from_pkl(
+                    args.eval_infos, cfg.data, training=False,
+                    data_root=args.data_root,
+                )
+                results = {f"val/{k}": float(v) for k, v in
+                           evaluate_model_multiprocess(cfg, state.params, val_ds).items()}
+                if is_main:
                     rec = {"epoch": epoch, "step": int(state.step), **results}
                     print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
                                       for k, v in rec.items()}))

@@ -69,6 +69,11 @@ class ModelConfig:
     backbone: BackboneConfig = BackboneConfig()
     head: HeadConfig = HeadConfig()
     use_grid_mask: bool = True
+    # True (default, reference parity): ONE integer-parameter mask per
+    # forward call broadcast over (B, N) — bit-exact in distribution with
+    # `models/utils/grid_mask.py:84-123`. False: per-sample float-period
+    # masks (strictly stronger aug of the same family).
+    grid_mask_exact: bool = True
     # which FPN level feeds the head (reference position_level, petr_head.py:183)
     head_feat_level: int = 0
     compute_dtype: str = "bfloat16"
@@ -102,6 +107,12 @@ class DataConfig:
     # BEV-space aug (GlobalRotScaleTransImage, transform_3d.py:468-548)
     bev_rot_range: Tuple[float, float] = (-0.3925, 0.3925)
     bev_scale_range: Tuple[float, float] = (0.95, 1.05)
+    # GT filtering for training targets (mmdet3d NuScenesDataset
+    # get_ann_info): True -> drop annotations whose `valid_flag` is False
+    # (zero lidar+radar points); False -> upstream fallback num_lidar_pts>0.
+    # Every shipped reference config trains with use_valid_flag=True
+    # (petr_vovnet_gridmask_p4_800x320.py:210).
+    use_valid_flag: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -329,6 +329,18 @@ class NuScenesDataset:
         gt_vel = np.asarray(info.get("gt_velocity", np.zeros((len(gt_boxes), 2))), np.float64)
         gt_vel = np.nan_to_num(gt_vel)
         gt_labels = np.asarray(info.get("gt_labels", np.zeros((len(gt_boxes),))), np.int64)
+        # sensor-visibility GT filter (mmdet3d NuScenesDataset.get_ann_info):
+        # use_valid_flag drops annotations with zero lidar+radar points;
+        # the upstream fallback is num_lidar_pts > 0. Every shipped
+        # reference config trains with use_valid_flag=True.
+        if len(gt_boxes):
+            mask = None
+            if self.cfg.use_valid_flag and "valid_flag" in info:
+                mask = np.asarray(info["valid_flag"], bool)
+            elif not self.cfg.use_valid_flag and "num_lidar_pts" in info:
+                mask = np.asarray(info["num_lidar_pts"]) > 0
+            if mask is not None and len(mask) == len(gt_boxes):
+                gt_boxes, gt_vel, gt_labels = gt_boxes[mask], gt_vel[mask], gt_labels[mask]
         boxes9 = np.concatenate([gt_boxes[:, :7], gt_vel], -1) if len(gt_boxes) else np.zeros((0, 9))
 
         if self.training and len(boxes9):

@@ -197,7 +197,10 @@ def build_infos(
             vels.append(v3[:2])
             labels.append(NUSCENES_CLASSES.index(mapped))
             valid.append(ann["num_lidar_pts"] + ann["num_radar_pts"] > 0)
-            npts.append(ann["num_lidar_pts"] + ann["num_radar_pts"])
+            # (lidar_only, lidar+radar): upstream's `num_lidar_pts` field is
+            # lidar-only (the use_valid_flag=False fallback mask); the devkit
+            # GT filter uses the lidar+radar sum (`num_pts`).
+            npts.append((ann["num_lidar_pts"], ann["num_lidar_pts"] + ann["num_radar_pts"]))
             # attribute name (for AAE in the NDS evaluation)
             if ann["attribute_tokens"]:
                 attrs.append(nusc.get("attribute", ann["attribute_tokens"][0])["name"])
@@ -215,6 +218,13 @@ def build_infos(
             # `filter_eval_boxes` conformance)
             "lidar2ego_translation": np.asarray(l_cs_rec["translation"], np.float64),
             "lidar2ego_rotation": np.asarray(l_cs_rec["rotation"], np.float64),
+            # ego->global pose at the lidar keyframe
+            # (`nuscenes_converter.py:184-185`): required to express the
+            # submission JSON in the global frame
+            # (petr_tpu/metrics/submission.py) and for the devkit-exact
+            # ego-distance range filter.
+            "ego2global_translation": np.asarray(l_pose["translation"], np.float64),
+            "ego2global_rotation": np.asarray(l_pose["rotation"], np.float64),
             "cams": cams,
             "sweeps_cams": sweeps_cams,
             "gt_boxes": np.asarray(boxes, np.float64).reshape(-1, 7),
@@ -222,7 +232,8 @@ def build_infos(
             "gt_labels": np.asarray(labels, np.int64),
             "valid_flag": np.asarray(valid, bool),
             "gt_attrs": attrs,
-            "num_lidar_pts": np.asarray(npts, np.int64),
+            "num_lidar_pts": np.asarray([p[0] for p in npts], np.int64),
+            "num_pts": np.asarray([p[1] for p in npts], np.int64),
         }
         (train_infos if name in train_scenes else val_infos).append(info)
 

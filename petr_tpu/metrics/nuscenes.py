@@ -285,24 +285,35 @@ def evaluate_detections(
     return results
 
 
+def _rot_of(q: np.ndarray) -> np.ndarray:
+    if q.shape == (3, 3):
+        return q
+    w, x, y, z = q  # quaternion (w, x, y, z)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
 def _ego_dist_fn(info: Optional[dict]):
-    """xy distance from the ego origin for a lidar-frame point, when the
-    info record carries the lidar->ego calibration (devkit `ego_dist`
-    conformance for the class-range filter); else -1 (unknown)."""
+    """Devkit `ego_dist` for a lidar-frame point: the GLOBAL-frame xy
+    displacement from the ego pose (||(c_g - t_e2g)[:2]|| =
+    ||(R_e2g (R_l2e c + t_l2e))[:2]||) when the info record carries
+    ego2global; falls back to the ego-frame xy norm (differs only by
+    vehicle roll/pitch — centimeters) with lidar2ego alone; else -1."""
     if not info or "lidar2ego_translation" not in info:
         return lambda center: -1.0
     t = np.asarray(info["lidar2ego_translation"], float)
-    R = np.asarray(info["lidar2ego_rotation"], float)
-    if R.shape != (3, 3):  # stored as a quaternion (w, x, y, z)
-        w, x, y, z = R
-        R = np.array([
-            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-        ])
+    R = _rot_of(np.asarray(info["lidar2ego_rotation"], float))
+    R_e2g = None
+    if "ego2global_rotation" in info:
+        R_e2g = _rot_of(np.asarray(info["ego2global_rotation"], float))
 
     def fn(center):
         p = R @ np.asarray(center, float) + t
+        if R_e2g is not None:
+            p = R_e2g @ p
         return float(np.hypot(p[0], p[1]))
 
     return fn
@@ -369,7 +380,9 @@ def ground_truth_from_infos(
         )
         labels = np.asarray(info.get("gt_labels"), int)
         attrs = info.get("gt_attrs", [""] * len(boxes))
-        npts = info.get("num_lidar_pts", [10] * len(boxes))
+        # devkit GT `num_pts` is lidar+radar; legacy infos only carried the
+        # (misnamed) sum under num_lidar_pts
+        npts = info.get("num_pts", info.get("num_lidar_pts", [10] * len(boxes)))
         gts[tok] = [
             DetectionBox(
                 sample_token=tok,

@@ -176,7 +176,7 @@ class PETRDetector(nn.Module):
         B_eff, N, H, W, C = images.shape
 
         if cfg.use_grid_mask and grid_mask_rng is not None and not self.deterministic:
-            images = grid_mask(grid_mask_rng, images)
+            images = grid_mask(grid_mask_rng, images, exact=cfg.grid_mask_exact)
 
         B = B_eff
         f = _backbone_neck_feature(cfg, images, dtype)

@@ -130,11 +130,18 @@ def make_synth_infos(tmp_path, n=4, n_prev=2):
     infos = []
     for s in range(n):
         t0 = 100.0 + s * 0.5
+        ego_yaw = 0.1 * s
         infos.append(
             {
                 "token": f"tok{s}",
                 "timestamp": t0,
                 "lidar_path": "x",
+                # pose chain (quaternions, w x y z) for the submission path
+                "lidar2ego_translation": np.array([0.9, 0.0, 1.8]),
+                "lidar2ego_rotation": np.array([1.0, 0.0, 0.0, 0.0]),
+                "ego2global_translation": np.array([10.0 * s, 5.0, 0.0]),
+                "ego2global_rotation": np.array(
+                    [np.cos(ego_yaw / 2), 0.0, 0.0, np.sin(ego_yaw / 2)]),
                 "cams": {c: make_cam(i, t0) for i, c in enumerate(CAM_ORDER)},
                 "sweeps_cams": [
                     {c: make_cam(i, t0 - 0.5 * (k + 1)) for i, c in enumerate(CAM_ORDER)}
@@ -235,3 +242,36 @@ def test_corrupt_camera_matrix_sanitized(tmp_path):
     assert np.abs(pt[:3]).max() > 1e3
     # healthy views keep a real inverse
     assert np.abs(s["img2lidar"][1] @ np.array([0, 0, 0, 1.0]))[:3].max() < 100
+
+
+def test_valid_flag_filters_training_gt(tmp_path):
+    """use_valid_flag=True (every shipped reference config,
+    petr_vovnet_gridmask_p4_800x320.py:210) drops sensor-invisible
+    annotations from the training targets; the False fallback uses the
+    upstream num_lidar_pts>0 mask."""
+    infos = make_synth_infos(tmp_path, n=1)
+    info = infos[0]
+    # keep boxes well inside PC_RANGE so only the visibility filter acts
+    info["gt_boxes"][:, :2] = np.arange(10).reshape(5, 2).astype(float)
+    info["valid_flag"] = np.array([True, False, True, False, True])
+    info["num_lidar_pts"] = np.array([3, 5, 0, 0, 1])
+    info["gt_labels"] = np.arange(5)
+
+    cfg = DataConfig(image_size=(32, 80), final_dim=(32, 80), max_gt=8,
+                     bev_rot_range=(0.0, 0.0), bev_scale_range=(1.0, 1.0))
+    ds = NuScenesDataset(infos, cfg, training=True, src_hw=(90, 160))
+    s = ds.get(0, seed=0)
+    assert int(s["gt_valid"].sum()) == 3
+    assert sorted(s["gt_labels"][s["gt_valid"]].tolist()) == [0, 2, 4]
+
+    cfg_np = DataConfig(image_size=(32, 80), final_dim=(32, 80), max_gt=8,
+                        use_valid_flag=False,
+                        bev_rot_range=(0.0, 0.0), bev_scale_range=(1.0, 1.0))
+    ds2 = NuScenesDataset(infos, cfg_np, training=True, src_hw=(90, 160))
+    s2 = ds2.get(0, seed=0)
+    assert sorted(s2["gt_labels"][s2["gt_valid"]].tolist()) == [0, 1, 4]
+
+    # infos without the fields (synthetic fixtures) are untouched
+    info.pop("valid_flag"); info.pop("num_lidar_pts")
+    s3 = ds2.get(0, seed=0)
+    assert int(s3["gt_valid"].sum()) == 5

@@ -150,7 +150,10 @@ def test_build_infos_fake_db(fake_db):
     # velocity rotated global->lidar: R(-90deg) @ [2, 0] = [0, -2]
     np.testing.assert_allclose(info["gt_velocity"][0], [0.0, -2.0], atol=1e-9)
     assert info["gt_labels"][0] == 0  # car
-    assert info["valid_flag"][0] and info["num_lidar_pts"][0] == 9
+    # num_lidar_pts is lidar-only (upstream field); num_pts is lidar+radar
+    # (devkit GT filter)
+    assert info["valid_flag"][0]
+    assert info["num_lidar_pts"][0] == 7 and info["num_pts"][0] == 9
     assert info["gt_attrs"] == ["vehicle.parked"]
 
 

@@ -115,16 +115,72 @@ def test_transformer_shapes_and_mask_invariance():
 
 def test_grid_mask_properties():
     imgs = jnp.ones((2, 3, 32, 32, 3))
-    out = grid_mask(jax.random.PRNGKey(0), imgs, prob=1.0)
-    a = np.asarray(out)
-    assert set(np.unique(a)).issubset({0.0, 1.0})
-    frac = a.mean()
-    assert 0.3 < frac < 1.0  # some pixels masked, most kept
-    # same mask across views of a sample
-    np.testing.assert_array_equal(a[0, 0], a[0, 1])
-    # prob=0 -> identity
-    out0 = grid_mask(jax.random.PRNGKey(0), imgs, prob=0.0)
-    np.testing.assert_array_equal(np.asarray(out0), np.asarray(imgs))
+    for exact in (True, False):
+        out = grid_mask(jax.random.PRNGKey(0), imgs, prob=1.0, exact=exact)
+        a = np.asarray(out)
+        assert set(np.unique(a)).issubset({0.0, 1.0})
+        frac = a.mean()
+        assert 0.3 < frac < 1.0  # some pixels masked, most kept
+        # same mask across views of a sample
+        np.testing.assert_array_equal(a[0, 0], a[0, 1])
+        # prob=0 -> identity
+        out0 = grid_mask(jax.random.PRNGKey(0), imgs, prob=0.0, exact=exact)
+        np.testing.assert_array_equal(np.asarray(out0), np.asarray(imgs))
+    # exact (reference) mode: ONE mask per call, shared across the batch
+    out = grid_mask(jax.random.PRNGKey(1), imgs, prob=1.0, exact=True)
+    np.testing.assert_array_equal(np.asarray(out)[0, 0], np.asarray(out)[1, 0])
+
+
+def _reference_grid_mask_numpy(h, w, d, st_h, st_w, ratio=0.5, mode=1):
+    """NumPy port of the reference rasterization
+    (`models/utils/grid_mask.py:89-115`, rotate=1 => no rotation): 1.5x
+    canvas, rows/cols [d*i+st, +l) zeroed, center crop, mode=1 inverts."""
+    l = min(max(int(d * ratio + 0.5), 1), d - 1)
+    hh, ww = int(1.5 * h), int(1.5 * w)
+    mask = np.ones((hh, ww), np.float32)
+    for i in range(hh // d):
+        s = d * i + st_h
+        mask[s : min(s + l, hh), :] = 0
+    for i in range(ww // d):
+        s = d * i + st_w
+        mask[:, s : min(s + l, ww)] = 0
+    mask = mask[(hh - h) // 2 : (hh - h) // 2 + h, (ww - w) // 2 : (ww - w) // 2 + w]
+    return 1 - mask if mode == 1 else mask
+
+
+def test_grid_mask_exact_parity_with_reference_raster():
+    """The analytic on-device mask must equal the reference's rasterized
+    mask bit-for-bit for every (d, st_h, st_w) — i.e. the exact mode is the
+    same DISTRIBUTION, not merely the same family."""
+    from petr_tpu.models.grid_mask import exact_mask
+
+    rng = np.random.default_rng(0)
+    for h, w in ((32, 32), (40, 100), (17, 23)):
+        ds = list(range(2, min(h, 12))) + [h - 1]
+        for d in ds:
+            for _ in range(3):
+                st_h, st_w = int(rng.integers(d)), int(rng.integers(d))
+                for mode in (0, 1):
+                    ours = np.asarray(exact_mask(h, w, d, st_h, st_w, mode=mode))
+                    ref = _reference_grid_mask_numpy(h, w, d, st_h, st_w, mode=mode)
+                    np.testing.assert_array_equal(
+                        ours, ref, err_msg=f"h={h} w={w} d={d} st=({st_h},{st_w}) mode={mode}"
+                    )
+
+
+def test_grid_mask_exact_distribution():
+    """Gate/period distribution: one Bernoulli(prob) per call; integer
+    period d in [2, H); keep fraction for mode=1/ratio=.5 is ~75%."""
+    imgs = jnp.ones((1, 1, 64, 64, 1))
+    applied, fracs = 0, []
+    for i in range(200):
+        a = np.asarray(grid_mask(jax.random.PRNGKey(i), imgs, prob=0.7, exact=True))
+        if (a == 1.0).all():
+            continue
+        applied += 1
+        fracs.append(a.mean())
+    assert 0.6 < applied / 200 < 0.8
+    assert 0.5 < np.mean(fracs) < 0.9
 
 
 def test_tta_feature_averaging_matches_single_forward():

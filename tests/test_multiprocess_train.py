@@ -13,6 +13,7 @@ import socket
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 from tests.test_data import make_synth_infos
@@ -78,3 +79,55 @@ def test_two_process_cpu_train(tmp_path):
     ), "non-finite loss in multi-process training"
     # rank 1 stayed quiet on logging (single train_log writer)
     assert "checkpoint saved" not in outs[1]
+
+
+@pytest.mark.slow
+def test_two_process_eval_hook(tmp_path):
+    """In-training eval under 2 coordinated processes (EvalHook-under-DDP):
+    each decodes its stride of the val split, metrics gathered via
+    process_allgather, rank 0 logs full-split val/mAP."""
+    infos = make_synth_infos(tmp_path, n=6)
+    pkl = tmp_path / "infos.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"infos": infos, "metadata": {"version": "synthetic"}}, f)
+    work = tmp_path / "work"
+
+    env = dict(os.environ)
+    env.update(
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=REPO,
+    )
+    port = _free_port()
+
+    procs = []
+    for pid in range(2):
+        cmd = [
+            sys.executable, "-m", "petr_tpu.cli.train",
+            "--config", "tiny_debug", "--infos", str(pkl),
+            "--work-dir", str(work), "--epochs", "1", "--log-every", "1",
+            "--batch-size", "2", "--eval-infos", str(pkl),
+            "--coordinator", f"localhost:{port}",
+            "--num-processes", "2", "--process-id", str(pid),
+        ]
+        procs.append(
+            subprocess.Popen(
+                cmd, env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+
+    recs = [json.loads(l) for l in open(work / "train_log.jsonl")]
+    val_recs = [r for r in recs if any(k.startswith("val/") for k in r)]
+    assert val_recs and "val/mAP" in val_recs[-1] and "val/NDS" in val_recs[-1]
+    assert np.isfinite(val_recs[-1]["val/mAP"])
+    # only rank 0 printed the val record
+    assert "val/mAP" in outs[0] and "val/mAP" not in outs[1]

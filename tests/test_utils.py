@@ -35,3 +35,29 @@ def test_fold_frozen_bn_preserves_output():
     # folded tree has identity multipliers
     assert np.allclose(folded["stem1"]["bn"]["scale"], 1.0)
     assert np.allclose(folded["stem1"]["bn"]["var"], 1.0)
+
+
+def test_mfu_helpers():
+    """compiled_flops reads XLA cost analysis; mfu_fields computes achieved
+    TFLOP/s = flops/item * items/s (peak% only on known TPU kinds)."""
+    import jax
+    import jax.numpy as jnp
+
+    import pytest
+
+    from petr_tpu.utils.mfu import compiled_flops, device_peak_tflops, mfu_fields
+
+    n = 256
+    compiled = jax.jit(lambda a, b: a @ b).lower(
+        jax.ShapeDtypeStruct((n, n), jnp.float32),
+        jax.ShapeDtypeStruct((n, n), jnp.float32),
+    ).compile()
+    f = compiled_flops(compiled)
+    if f is not None:  # cost analysis is backend-dependent
+        assert f == pytest.approx(2 * n**3, rel=0.2)
+
+    fields = mfu_fields(1e9, 100.0)  # 1 GFLOP/item at 100 items/s = 0.1 TFLOP/s
+    assert fields["achieved_tflops"] == pytest.approx(0.1)
+    assert fields["model_gflops"] == pytest.approx(1.0)
+    assert mfu_fields(None, 100.0) == {}
+    assert device_peak_tflops() is None  # CPU test platform
