@@ -111,3 +111,80 @@ def test_photometric_distortion_runs():
     out = photometric_distortion(img, rng)
     assert out.shape == img.shape
     assert np.isfinite(out).all()
+
+
+def test_pillar_decorate_offsets():
+    """PointPillars decoration: cluster-mean and pillar-center offsets."""
+    from petr_tpu.models.dgcnn import pillar_decorate
+
+    pr = (-8.0, -8.0, -5.0, 8.0, 8.0, 3.0)
+    # two points in the same pillar (16x16 grid -> 1m cells), one OOB
+    pts = jnp.asarray([
+        [0.25, 0.25, 0.0, 5.0],
+        [0.75, 0.75, 1.0, 7.0],
+        [99.0, 0.0, 0.0, 1.0],
+    ])
+    dec, flat, inb = pillar_decorate(pts, jnp.ones(3, bool), pr, (16, 16))
+    dec, flat, inb = map(np.asarray, (dec, flat, inb))
+    assert inb.tolist() == [True, True, False]
+    assert flat[0] == flat[1] and flat[2] == 16 * 16  # dump slot
+    # cluster mean = (0.5, 0.5, 0.5); offsets +-0.25 in xy, +-0.5 z
+    np.testing.assert_allclose(dec[0, 4:7], [-0.25, -0.25, -0.5], atol=1e-6)
+    np.testing.assert_allclose(dec[1, 4:7], [0.25, 0.25, 0.5], atol=1e-6)
+    # pillar center (0.5, 0.5): center offsets
+    np.testing.assert_allclose(dec[0, 7:9], [-0.25, -0.25], atol=1e-6)
+    # OOB point fully zeroed
+    assert (dec[2] == 0).all()
+
+
+def test_pillar_feature_net_scatter_max_oracle():
+    """The canvas value of a pillar equals the elementwise MAX over the
+    relu'd point MLP outputs of the points in that pillar (PointPillars
+    max-over-K, computed here as a scatter-max)."""
+    from petr_tpu.models.dgcnn import PillarFeatureNet, pillar_decorate
+
+    pr = (-8.0, -8.0, -5.0, 8.0, 8.0, 3.0)
+    rng = np.random.default_rng(0)
+    pts = np.concatenate(
+        [rng.uniform(-7, 7, (1, 32, 2)), rng.uniform(-2, 2, (1, 32, 1)),
+         rng.uniform(0, 10, (1, 32, 1))], -1
+    ).astype(np.float32)
+    valid = np.ones((1, 32), bool)
+    m = PillarFeatureNet(out_channels=16, pc_range=pr, grid_hw=(16, 16))
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(pts), jnp.asarray(valid))
+    canvas = np.asarray(m.apply(params, jnp.asarray(pts), jnp.asarray(valid)))
+    assert canvas.shape == (1, 16, 16, 16)
+
+    # oracle: run the MLP via apply on decorated points, group by pillar id
+    dec, flat, inb = pillar_decorate(jnp.asarray(pts[0]), jnp.ones(32, bool), pr, (16, 16))
+    k = np.asarray(params["params"]["pfn_fc"]["kernel"])
+    h = np.asarray(dec) @ k
+    mu = h.mean(-1, keepdims=True)
+    sd = h.std(-1, keepdims=True)
+    ln = params["params"]["pfn_norm"]
+    h = (h - mu) / np.sqrt(sd**2 + 1e-6) * np.asarray(ln["scale"]) + np.asarray(ln["bias"])
+    h = np.maximum(h, 0.0)
+    flat = np.asarray(flat)
+    for pid in np.unique(flat[np.asarray(inb)]):
+        want = h[flat == pid].max(0)
+        gy, gx = divmod(int(pid), 16)
+        np.testing.assert_allclose(canvas[0, gy, gx], want, atol=1e-4)
+    # empty pillars are zero
+    empty = np.setdiff1d(np.arange(256), flat[np.asarray(inb)])
+    gy, gx = divmod(int(empty[0]), 16)
+    np.testing.assert_allclose(canvas[0, gy, gx], 0.0)
+
+
+def test_second_backbone_and_fpn_shapes():
+    from petr_tpu.models.dgcnn import SECONDBackbone, SECONDFPN
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 8))
+    bb = SECONDBackbone(channels=(8, 16, 32), layer_nums=(1, 1, 1))
+    params = bb.init(jax.random.PRNGKey(1), x)
+    stages = bb.apply(params, x)
+    assert [tuple(s.shape) for s in stages] == [
+        (1, 8, 8, 8), (1, 4, 4, 16), (1, 2, 2, 32)]
+    neck = SECONDFPN(out_channels=(8, 8, 8), upsample_strides=(1, 2, 4))
+    nparams = neck.init(jax.random.PRNGKey(2), stages)
+    bev = neck.apply(nparams, stages)
+    assert bev.shape == (1, 8, 8, 24)
