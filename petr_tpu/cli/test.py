@@ -42,6 +42,15 @@ def parse_args():
         help="int8 PTQ serving: activation-scale .npz from petr_tpu.cli.quantize",
     )
     p.add_argument(
+        "--tta", default="none", choices=("none", "identity", "hflip"),
+        help="test-time augmentation (reference MultiScaleFlipAug3D + "
+        "petr3d.aug_test feature averaging, petr3d.py:239-247): stacks aug "
+        "variants on an aug axis, features are averaged before the head "
+        "with the FIRST variant's geometry (the reference's img_metas[0] "
+        "semantics). 'identity' duplicates (a consistency no-op), 'hflip' "
+        "adds a horizontally mirrored variant",
+    )
+    p.add_argument(
         "--streaming", action="store_true",
         help="PETRv2 streaming eval: scene-ordered, backbone on the 6 new "
         "views per frame, previous-frame features cached "
@@ -49,6 +58,22 @@ def parse_args():
         "previous keyframe instead of the offline mid-sweep pick.",
     )
     return p.parse_args()
+
+
+def apply_tta(images, mode: str):
+    """(B, N, H, W, C) -> (B, A, N, H, W, C) aug stack for the detector's
+    feature-averaging TTA axis (reference `petr3d.py:239-247`)."""
+    import numpy as np
+
+    if mode == "none":
+        return images
+    if mode == "identity":
+        aug = images
+    elif mode == "hflip":
+        aug = images[..., ::-1, :]  # mirror W; per-channel norm commutes
+    else:
+        raise ValueError(mode)
+    return np.stack([images, aug], axis=1)
 
 
 def run_streaming_inference(cfg, params, ds, quant_scales=None):
@@ -152,6 +177,7 @@ def main():
         info_by_token = {info["token"]: info for info in ds.infos}
         for batch in loader.epoch(0):
             tokens = batch.pop("tokens")
+            batch["images"] = apply_tta(batch["images"], args.tta)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             det = jax.device_get(eval_step(params, jb))
             for i, tok in enumerate(tokens):

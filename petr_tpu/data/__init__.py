@@ -7,3 +7,4 @@ from petr_tpu.data.transforms import (
     pad_image,
 )
 from petr_tpu.data.dataset import NuScenesDataset, Loader, collate_batch
+from petr_tpu.data.synthetic import generate_synthetic_scenes

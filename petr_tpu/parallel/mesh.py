@@ -36,9 +36,11 @@ def make_mesh(
 ) -> Mesh:
     """Build a (data, model) mesh over the available devices.
 
-    Default factorization: put at most 2 ways on data (batch is small for
-    this workload — batch 1/device in the reference recipe) and the rest on
-    the token axis.
+    Default factorization: ALL devices on the data axis (pure DP — the
+    reference trains batch 1/device, so an 8-chip host naturally runs
+    data=8). Pass ``model`` (or ``data``) to trade batch ways for token-axis
+    sharding inside the decoder (useful for memory-bound large-image
+    configs).
     """
     if devices is None:
         devices = jax.devices()
@@ -46,8 +48,7 @@ def make_mesh(
         devices = devices[:n_devices]
     n = len(devices)
     if data is None and model is None:
-        data = 2 if n % 2 == 0 and n > 1 else 1
-        model = n // data
+        data, model = n, 1
     elif data is None:
         data = n // model
     elif model is None:

@@ -53,14 +53,20 @@ def _preds_from_det(tokens, det, info_by_token):
     }
 
 
-def evaluate_model(cfg, params, ds, batch_size: int = 1) -> Dict[str, float]:
-    """Decode + metrics over ``ds`` (a val-mode NuScenesDataset)."""
+def evaluate_model(cfg, params, ds, batch_size: int = 1, classes=None) -> Dict[str, float]:
+    """Decode + metrics over ``ds`` (a val-mode NuScenesDataset).
+
+    ``classes`` restricts scoring (devkit semantics score ALL classes,
+    counting no-GT classes as AP 0 — pass the present subset on restricted
+    synthetic data)."""
     from petr_tpu.metrics.nuscenes import evaluate_detections, ground_truth_from_infos
 
     info_by_token = {info["token"]: info for info in ds.infos}
     tokens, det = _decode_dataset(cfg, params, ds, batch_size)
     preds = _preds_from_det(tokens, det, info_by_token)
     gts = ground_truth_from_infos(ds.infos)
+    if classes is not None:
+        return evaluate_detections(gts, preds, classes=classes)
     return evaluate_detections(gts, preds)
 
 

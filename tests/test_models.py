@@ -212,3 +212,19 @@ def test_tta_feature_averaging_matches_single_forward():
     tta2_images = jnp.stack([batch["images"], batch["images"] * 0.5], axis=1)
     tta2 = model.apply(variables, tta2_images, batch["img2lidar"], batch["img_hw"])
     assert np.abs(np.asarray(tta2["cls_logits"]) - np.asarray(single["cls_logits"])).max() > 1e-3
+
+
+def test_cli_apply_tta():
+    """--tta stacking: identity duplicates (decode-consistency no-op, covered
+    end-to-end by test_tta_feature_averaging_matches_single_forward); hflip
+    mirrors the width axis."""
+    from petr_tpu.cli.test import apply_tta
+
+    imgs = np.random.default_rng(0).normal(0, 1, (2, 3, 4, 6, 3)).astype(np.float32)
+    assert apply_tta(imgs, "none") is imgs
+    ident = apply_tta(imgs, "identity")
+    assert ident.shape == (2, 2, 3, 4, 6, 3)
+    np.testing.assert_array_equal(ident[:, 0], ident[:, 1])
+    hf = apply_tta(imgs, "hflip")
+    np.testing.assert_array_equal(hf[:, 1], imgs[..., ::-1, :])
+    np.testing.assert_array_equal(hf[:, 0], imgs)

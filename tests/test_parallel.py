@@ -10,13 +10,16 @@ from petr_tpu.parallel.mesh import constrain, make_mesh, shard_batch
 
 
 def test_make_mesh_factorizations():
+    # default = pure DP (reference recipe: batch 1/device -> data=n)
     m = make_mesh(8)
-    assert m.devices.shape == (2, 4)
+    assert m.devices.shape == (8, 1)
     assert m.axis_names == ("data", "model")
     m2 = make_mesh(8, data=4)
     assert m2.devices.shape == (4, 2)
-    m3 = make_mesh(1)
-    assert m3.devices.shape == (1, 1)
+    m3 = make_mesh(8, model=4)
+    assert m3.devices.shape == (2, 4)
+    m4 = make_mesh(1)
+    assert m4.devices.shape == (1, 1)
 
 
 def test_constrain_noop_outside_mesh():
@@ -39,7 +42,7 @@ def test_constrain_inside_mesh():
 
 
 def test_shard_batch_places_on_data_axis():
-    mesh = make_mesh(8)
+    mesh = make_mesh(8, data=2)  # batch dim 2 must divide the data axis
     batch = {"a": jnp.arange(16.0).reshape(2, 8), "b": jnp.zeros((2, 3, 4))}
     out = shard_batch(batch, mesh)
     for v in out.values():
@@ -76,7 +79,7 @@ def test_grad_accum_composes_with_sharded_train_step():
     batch = tiny_batch(B=4)
     state = create_train_state(cfg, jax.random.PRNGKey(0), 100, batch)
 
-    mesh = make_mesh(8)  # (data=2, model=4)
+    mesh = make_mesh(8, model=4)  # (data=2, model=4)
     with jax.set_mesh(mesh):
         state = replicate(state, mesh)
         sharded = shard_batch(batch, mesh)

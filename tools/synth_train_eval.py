@@ -1,0 +1,121 @@
+"""Multi-scene synthetic end-to-end training validation.
+
+Generates a procedural multi-scene dataset (petr_tpu/data/synthetic.py:
+distinct scenes, 3 color-coded classes, moving objects), trains a config
+on the TRAIN scenes through the real loader/train-step stack, and scores
+HELD-OUT scenes with the devkit-exact evaluator — the in-container proxy
+for the reference's golden-metric protocol
+(`tools/dist_test.sh <cfg> <ckpt> --eval bbox` against nuScenes val).
+Generalization (not memorization) is what's measured: val scenes are never
+seen in training.
+
+    python tools/synth_train_eval.py [--steps 600] [--scenes 10] [--floor 0.2]
+
+Prints one JSON line {train_loss_first, train_loss_last, val/mAP, val/NDS,
+...} and exits nonzero if held-out mAP (over the 3 present classes) is
+below --floor.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="tiny_debug")
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--scenes", type=int, default=10)
+    p.add_argument("--frames", type=int, default=4)
+    p.add_argument("--objects", type=int, default=6)
+    p.add_argument("--image-hw", type=int, nargs=2, default=(64, 160))
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--lr", type=float, default=4e-4)
+    p.add_argument("--floor", type=float, default=0.2, help="min held-out mAP")
+    p.add_argument("--out-dir", default="/tmp/petr_synth")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo")
+    from petr_tpu.configs import get_config
+    from petr_tpu.data import Loader, NuScenesDataset
+    from petr_tpu.data.synthetic import SYNTH_CLASSES, generate_synthetic_scenes
+    from petr_tpu.train import create_train_state, make_train_step
+    from petr_tpu.train.evaluate import evaluate_model
+
+    H, W = args.image_hw
+    t0 = time.time()
+    splits = generate_synthetic_scenes(
+        args.out_dir, n_scenes=args.scenes, frames_per_scene=args.frames,
+        image_hw=(H, W), n_objects=args.objects, seed=args.seed,
+    )
+    print(f"generated {len(splits['train'])} train / {len(splits['val'])} val "
+          f"frames in {time.time() - t0:.1f}s", flush=True)
+
+    cfg = get_config(args.config)
+    dcfg = dataclasses.replace(
+        cfg.data, image_size=(H, W), final_dim=(H, W), resize_lim=(1.0, 1.0),
+        bot_pct_lim=(0.0, 0.0), max_gt=32,
+    )
+    ocfg = dataclasses.replace(
+        cfg.train.optim, lr=args.lr, warmup_iters=50, min_lr_ratio=0.2,
+        backbone_lr_mult=1.0,
+    )
+    cfg = dataclasses.replace(
+        cfg, data=dcfg, train=dataclasses.replace(cfg.train, optim=ocfg),
+    )
+
+    train_ds = NuScenesDataset(splits["train"], cfg.data, training=True, src_hw=(H, W))
+    val_ds = NuScenesDataset(splits["val"], cfg.data, training=False, src_hw=(H, W))
+    loader = Loader(train_ds, args.batch_size, seed=args.seed)
+
+    import jax.numpy as jnp
+
+    batch0 = next(iter(loader.epoch(0)))
+    batch0.pop("tokens")
+    jb = {k: jnp.asarray(v) for k, v in batch0.items()}
+    state = create_train_state(cfg, jax.random.PRNGKey(args.seed), args.steps, jb)
+    step_fn = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    rng = jax.random.PRNGKey(args.seed + 1)
+
+    first = last = None
+    step = 0
+    t0 = time.time()
+    while step < args.steps:
+        for batch in loader.epoch(step // max(len(loader), 1)):
+            batch.pop("tokens")
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = step_fn(state, jb, rng)
+            step += 1
+            if step % 100 == 0 or step == 1:
+                last = float(metrics["loss"])
+                if first is None:
+                    first = last
+                print(f"step {step:5d}  loss {last:.4f}  "
+                      f"({step / max(time.time() - t0, 1e-9):.2f} it/s)", flush=True)
+            if step >= args.steps:
+                break
+    last = float(metrics["loss"])
+
+    results = evaluate_model(cfg, state.params, val_ds,
+                             batch_size=args.batch_size, classes=SYNTH_CLASSES)
+    rec = {"steps": args.steps, "train_loss_first": round(first, 3),
+           "train_loss_last": round(last, 3),
+           **{f"val/{k}": round(float(v), 4) for k, v in sorted(results.items())}}
+    print(json.dumps(rec), flush=True)
+    if results["mAP"] < args.floor:
+        print(f"FAIL: held-out mAP {results['mAP']:.3f} < floor {args.floor}")
+        sys.exit(1)
+    print(f"SYNTH TRAIN/EVAL OK: held-out mAP {results['mAP']:.3f} "
+          f">= {args.floor}")
+
+
+if __name__ == "__main__":
+    main()
