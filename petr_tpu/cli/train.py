@@ -118,7 +118,14 @@ def main():
         )
     total_steps = steps_per_epoch * epochs
 
-    mesh = make_pod_mesh() if n_proc > 1 else make_mesh()
+    if n_proc > 1:
+        mesh = make_pod_mesh()
+    else:
+        # data ways must divide the batch; leftover devices go to the
+        # decoder token axis (make_mesh default is pure DP = data=n)
+        import math as _math
+
+        mesh = make_mesh(data=_math.gcd(batch_size, n_dev))
     sample = next(iter(loader.epoch(0)))
     sample = {k: jnp.asarray(v) for k, v in sample.items() if k != "tokens"}
     state = create_train_state(cfg, jax.random.PRNGKey(args.seed), total_steps, sample)

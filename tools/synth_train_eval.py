@@ -38,6 +38,12 @@ def main():
     p.add_argument("--floor", type=float, default=0.2, help="min held-out mAP")
     p.add_argument("--out-dir", default="/tmp/petr_synth")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval-train", action="store_true",
+                   help="also score the TRAIN scenes (memorization diagnostic)")
+    p.add_argument("--no-aug", action="store_true",
+                   help="disable flip/BEV aug (diagnostic)")
+    p.add_argument("--set", nargs="*", default=[], dest="overrides",
+                   metavar="KEY=VAL", help="dotted config overrides")
     args = p.parse_args()
 
     import jax
@@ -59,10 +65,12 @@ def main():
     print(f"generated {len(splits['train'])} train / {len(splits['val'])} val "
           f"frames in {time.time() - t0:.1f}s", flush=True)
 
-    cfg = get_config(args.config)
+    cfg = get_config(args.config, args.overrides)
     dcfg = dataclasses.replace(
         cfg.data, image_size=(H, W), final_dim=(H, W), resize_lim=(1.0, 1.0),
         bot_pct_lim=(0.0, 0.0), max_gt=32,
+        **(dict(rand_flip=False, bev_rot_range=(0.0, 0.0),
+                bev_scale_range=(1.0, 1.0)) if args.no_aug else {}),
     )
     ocfg = dataclasses.replace(
         cfg.train.optim, lr=args.lr, warmup_iters=50, min_lr_ratio=0.2,
@@ -106,6 +114,13 @@ def main():
 
     results = evaluate_model(cfg, state.params, val_ds,
                              batch_size=args.batch_size, classes=SYNTH_CLASSES)
+    if args.eval_train:
+        train_eval_ds = NuScenesDataset(splits["train"], cfg.data,
+                                        training=False, src_hw=(H, W))
+        tr = evaluate_model(cfg, state.params, train_eval_ds,
+                            batch_size=args.batch_size, classes=SYNTH_CLASSES)
+        print(json.dumps({f"train/{k}": round(float(v), 4)
+                          for k, v in sorted(tr.items())}), flush=True)
     rec = {"steps": args.steps, "train_loss_first": round(first, 3),
            "train_loss_last": round(last, 3),
            **{f"val/{k}": round(float(v), 4) for k, v in sorted(results.items())}}
