@@ -107,6 +107,9 @@ class DataConfig:
     # BEV-space aug (GlobalRotScaleTransImage, transform_3d.py:468-548)
     bev_rot_range: Tuple[float, float] = (-0.3925, 0.3925)
     bev_scale_range: Tuple[float, float] = (0.95, 1.05)
+    # source image size before IDA (nuScenes cameras are 900x1600); the
+    # synthetic dataset and other rigs override it
+    src_hw: Tuple[int, int] = (900, 1600)
     # GT filtering for training targets (mmdet3d NuScenesDataset
     # get_ann_info): True -> drop annotations whose `valid_flag` is False
     # (zero lidar+radar points); False -> upstream fallback num_lidar_pts>0.

@@ -113,7 +113,7 @@ class NuScenesDataset:
         cfg: DataConfig,
         training: bool = True,
         data_root: str = "",
-        src_hw=(900, 1600),
+        src_hw=None,
         sweep_range=(3, 27),
         view_transform=None,
     ):
@@ -121,12 +121,14 @@ class NuScenesDataset:
         view before normalization — the AlbuMultiview3D /
         PhotoMetricDistortion extension point (e.g.
         ``transforms.photometric_distortion``). Using it disables the native
-        fused path for those samples."""
+        fused path for those samples. ``src_hw`` defaults to
+        ``cfg.src_hw`` (nuScenes 900x1600)."""
         self.infos = list(infos)
         self.cfg = cfg
         self.training = training
         self.data_root = data_root
-        self.src_hw = src_hw
+        self.src_hw = tuple(src_hw) if src_hw is not None else tuple(
+            getattr(cfg, "src_hw", (900, 1600)))
         self.sweep_range = sweep_range
         self.view_transform = view_transform
 

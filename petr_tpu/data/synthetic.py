@@ -175,6 +175,16 @@ def generate_synthetic_scenes(
                     "sensor2lidar_translation": cam["t"].copy(),
                 }
             G = len(names)
+            # attributes consistent with the submission heuristic
+            # (metrics/nuscenes.py boxes_from_arrays): moving vs parked by
+            # speed — so AAE rewards learned velocities instead of pinning 1.0
+            attrs = []
+            for n, v in zip(names, vels):
+                speed = float(np.hypot(v[0], v[1]))
+                if n == "pedestrian":
+                    attrs.append("pedestrian.moving")
+                else:
+                    attrs.append("vehicle.moving" if speed > 0.2 else "vehicle.parked")
             info = {
                 "token": f"s{s}_f{fidx}",
                 "scene_token": f"scene{s}",
@@ -190,7 +200,7 @@ def generate_synthetic_scenes(
                 "gt_velocity": vels.copy(),
                 "gt_labels": np.array([_CLASS_IDX[n] for n in names], np.int64),
                 "valid_flag": np.ones(G, bool),
-                "gt_attrs": [""] * G,
+                "gt_attrs": attrs,
                 "num_lidar_pts": np.full(G, 64, np.int64),
                 "num_pts": np.full(G, 64, np.int64),
             }

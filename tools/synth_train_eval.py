@@ -38,6 +38,8 @@ def main():
     p.add_argument("--floor", type=float, default=0.2, help="min held-out mAP")
     p.add_argument("--out-dir", default="/tmp/petr_synth")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="evaluate held-out every N steps (progress diagnostic)")
     p.add_argument("--eval-train", action="store_true",
                    help="also score the TRAIN scenes (memorization diagnostic)")
     p.add_argument("--no-aug", action="store_true",
@@ -108,6 +110,12 @@ def main():
                     first = last
                 print(f"step {step:5d}  loss {last:.4f}  "
                       f"({step / max(time.time() - t0, 1e-9):.2f} it/s)", flush=True)
+            if args.eval_every and step % args.eval_every == 0 and step < args.steps:
+                r = evaluate_model(cfg, state.params, val_ds,
+                                   batch_size=args.batch_size, classes=SYNTH_CLASSES)
+                print(json.dumps({"step": step, "val/mAP": round(r["mAP"], 4),
+                                  "val/NDS": round(r["NDS"], 4),
+                                  "val/mATE": round(r["mATE"], 4)}), flush=True)
             if step >= args.steps:
                 break
     last = float(metrics["loss"])
