@@ -249,6 +249,24 @@ _register(ExperimentConfig(
     train=TrainConfig(optim=OptimConfig(warmup_iters=2)),
 ))
 
+# shrunk VoV preset for the multi-scene synthetic generalization validation
+# (tools/synth_train_eval.py): the smallest configuration measured to learn
+# held-out scenes (stride-16 features at 128x320, embed 128, 3 layers)
+_register(ExperimentConfig(
+    name="synth_small",
+    model=ModelConfig(
+        backbone=BackboneConfig(kind="vovnet", spec="V-39-eSE", out_indices=(2, 3)),
+        head=HeadConfig(num_query=64, embed_dim=128, num_layers=3, num_heads=4,
+                        ffn_dim=256, depth_num=16),
+        use_grid_mask=False,
+        compute_dtype="float32",
+    ),
+    data=DataConfig(image_size=(128, 320), final_dim=(128, 320),
+                    resize_lim=(1.0, 1.0), src_hw=(128, 320), max_gt=32),
+    train=TrainConfig(optim=OptimConfig(
+        lr=2e-4, warmup_iters=50, min_lr_ratio=0.2, backbone_lr_mult=1.0)),
+))
+
 # tiny 2-frame (PETRv2-style) smoke preset for the streaming path
 _register(ExperimentConfig(
     name="tiny_debug_v2",

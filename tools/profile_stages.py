@@ -64,12 +64,23 @@ def main():
     print(f"full forward      : {timed(chain(full), params, batch):8.2f} ms", flush=True)
 
     dtype = jnp.dtype(cfg.model.compute_dtype)
-    bb = VoVNet(
-        spec=cfg.model.backbone.spec,
-        out_indices=cfg.model.backbone.out_indices,
-        remat=cfg.model.remat,
-        dtype=dtype,
-    )
+    if cfg.model.backbone.kind == "resnet":
+        from petr_tpu.models.resnet import ResNet
+
+        bb = ResNet(
+            depth=50,
+            out_indices=cfg.model.backbone.out_indices,
+            dcn_stages=cfg.model.backbone.dcn_stages,
+            remat_stages=False,
+            dtype=dtype,
+        )
+    else:
+        bb = VoVNet(
+            spec=cfg.model.backbone.spec,
+            out_indices=cfg.model.backbone.out_indices,
+            remat=cfg.model.remat,
+            dtype=dtype,
+        )
     imgs = batch["images"].reshape(B * N, H, W, 3).astype(dtype)
 
     def bb_only(carry, p, imgs):
