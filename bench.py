@@ -80,11 +80,24 @@ def main():
     baseline = 3.0  # samples/s per reference GPU (see module docstring)
 
     # MFU: achieved TFLOP/s vs the chip's peak matmul rate (falsifiable
-    # "fast"; regressions show up as mfu_pct drops)
+    # "fast"; regressions show up as mfu_pct drops). FLOPs come from an
+    # AOT compile of a SINGLE forward: the chained executable's cost
+    # analysis counts the scan body once (dividing it by SCAN_LEN would
+    # undercount ~20x), and a Lowered's cost_analysis returns None on the
+    # axon backend, so the compiled single-step module is the one source
+    # that is both exact (optimized HLO actually executed) and available.
     from petr_tpu.utils.mfu import compiled_flops, mfu_fields
 
-    chain_flops = compiled_flops(compiled)
-    per_sample = chain_flops / (SCAN_LEN * B) if chain_flops else None
+    def forward_one(params, images, img2lidar, img_hw):
+        out = model.apply({"params": params}, images, img2lidar, img_hw)
+        return out["cls_logits"].sum().astype(jnp.float32)
+
+    fwd_flops = compiled_flops(
+        jax.jit(forward_one)
+        .lower(params, batch["images"], batch["img2lidar"], batch["img_hw"])
+        .compile()
+    )
+    per_sample = fwd_flops / B if fwd_flops else None
     print(
         json.dumps(
             {

@@ -38,7 +38,7 @@ _CLASS_SPEC = {
     "bus": ((3.0, 10.0, 3.4), (220.0, 60.0, 40.0), 6.0),
     "pedestrian": ((0.7, 0.7, 1.8), (40.0, 200.0, 40.0), 1.5),
 }
-_CLASS_IDX = {"car": 0, "bus": 3, "pedestrian": 7}  # NUSCENES_CLASSES indices
+_CLASS_IDX = {"car": 0, "bus": 3, "pedestrian": 8}  # NUSCENES_CLASSES indices
 
 CAM_YAWS = {
     "CAM_FRONT": 0.0,

@@ -27,7 +27,7 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-from petr_tpu.metrics.nuscenes import CLS_RANGE, DetectionBox
+from petr_tpu.metrics.nuscenes import CLS_RANGE, DetectionBox, _rot_of
 
 
 def quat_mult(q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
@@ -42,13 +42,32 @@ def quat_mult(q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
     ])
 
 
-def quat_to_rot(q: np.ndarray) -> np.ndarray:
-    w, x, y, z = q
-    return np.array([
-        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-    ])
+def _rot_to_quat(R: np.ndarray) -> np.ndarray:
+    """(3, 3) rotation matrix -> (w, x, y, z) quaternion (w >= 0)."""
+    w = 0.5 * np.sqrt(max(1.0 + R[0, 0] + R[1, 1] + R[2, 2], 0.0))
+    if w > 1e-6:
+        q = np.array([w, (R[2, 1] - R[1, 2]) / (4 * w),
+                      (R[0, 2] - R[2, 0]) / (4 * w),
+                      (R[1, 0] - R[0, 1]) / (4 * w)])
+    else:  # w ~ 0: pick the dominant axis
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12))
+        q = np.zeros(4)
+        q[0] = (R[k, j] - R[j, k]) / (2 * s)
+        q[1 + i] = 0.5 * s
+        q[1 + j] = (R[j, i] + R[i, j]) / (2 * s)
+        q[1 + k] = (R[k, i] + R[i, k]) / (2 * s)
+    return q / np.linalg.norm(q)
+
+
+def _pose_of(info: dict, key: str):
+    """(R (3,3), t (3,), q (w,x,y,z)) for a stored pose — the rotation may
+    be a quaternion (the info-builder convention) or a 3x3 matrix."""
+    raw = np.asarray(info[f"{key}_rotation"], float)
+    R = _rot_of(raw)
+    q = raw if raw.shape == (4,) else _rot_to_quat(R)
+    return R, np.asarray(info[f"{key}_translation"], float), q
 
 
 def lidar_box_to_global(info: dict, center, yaw: float, velocity):
@@ -58,11 +77,8 @@ def lidar_box_to_global(info: dict, center, yaw: float, velocity):
     ``ego_radius`` is the ego-frame xy distance used by the upstream
     class-range filter.
     """
-    q_l2e = np.asarray(info["lidar2ego_rotation"], float)
-    t_l2e = np.asarray(info["lidar2ego_translation"], float)
-    q_e2g = np.asarray(info["ego2global_rotation"], float)
-    t_e2g = np.asarray(info["ego2global_translation"], float)
-    R_l2e, R_e2g = quat_to_rot(q_l2e), quat_to_rot(q_e2g)
+    R_l2e, t_l2e, q_l2e = _pose_of(info, "lidar2ego")
+    R_e2g, t_e2g, q_e2g = _pose_of(info, "ego2global")
 
     yaw_nusc = -float(yaw) - np.pi / 2.0
     q_box = np.array([np.cos(yaw_nusc / 2), 0.0, 0.0, np.sin(yaw_nusc / 2)])
@@ -116,7 +132,7 @@ def build_submission(
     if missing:
         raise ValueError(
             f"{len(missing)} samples lack ego2global pose in their info "
-            "records (e.g. token {missing[0]!r}); regenerate infos with "
+            f"records (e.g. token {missing[0]!r}); regenerate infos with "
             "petr_tpu.cli.create_data — a submission cannot be expressed "
             "in the lidar frame."
         )

@@ -73,11 +73,21 @@ def evaluate_model(cfg, params, ds, batch_size: int = 1, classes=None) -> Dict[s
 def evaluate_model_multiprocess(cfg, params, ds, batch_size: int = 1) -> Dict[str, float]:
     """Full-split eval under jax.distributed; call from ALL processes.
 
-    Process p decodes samples ``infos[p::nproc]`` locally (host copy of the
-    replicated params -> local-device jit, no collectives), pads its decode
+    Process p decodes samples ``infos[p::nproc]`` locally, pads its decode
     arrays to the common per-process maximum, and one ``process_allgather``
     makes every process's detections globally visible. All processes return
     the same full-split metric dict.
+
+    The decode runs under a ONE-local-device mesh that shadows any ambient
+    training mesh (``cli/train.py`` calls this inside
+    ``with jax.set_mesh(pod_mesh)``): with the pod mesh ambient, the jit'd
+    eval step would trace the model's `constrain()` sharding constraints
+    into a cross-host program over data that is actually process-local —
+    wrong results, and a deadlock whenever ``len(infos) % nproc != 0``
+    (processes run different numbers of eval steps, so the extra step's
+    collective has no peers). The local mesh keeps the training axis names
+    (so `constrain()` specs resolve) but makes every constraint trivially
+    local.
     """
     import copy
 
@@ -85,11 +95,24 @@ def evaluate_model_multiprocess(cfg, params, ds, batch_size: int = 1) -> Dict[st
     if nproc == 1:
         return evaluate_model(cfg, params, ds, batch_size)
     pid = jax.process_index()
+    if len(ds.infos) < nproc:
+        # raise on EVERY process (the split size is globally known) — a
+        # one-sided raise would strand the other processes in the gather
+        raise ValueError(
+            f"evaluate_model_multiprocess: {len(ds.infos)} val samples "
+            f"< {nproc} processes — every process would not get a shard"
+        )
 
     local_ds = copy.copy(ds)
     local_ds.infos = list(ds.infos)[pid::nproc]
     params_host = jax.device_get(params)  # replicated -> every shard local
-    tokens, det = _decode_dataset(cfg, params_host, local_ds, batch_size)
+    from petr_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    local_mesh = jax.sharding.Mesh(
+        np.asarray(jax.local_devices()[:1]).reshape(1, 1), (DATA_AXIS, MODEL_AXIS)
+    )
+    with jax.set_mesh(local_mesh):
+        tokens, det = _decode_dataset(cfg, params_host, local_ds, batch_size)
 
     n_max = (len(ds.infos) + nproc - 1) // nproc
     n_local = len(tokens)
@@ -100,8 +123,6 @@ def evaluate_model_multiprocess(cfg, params, ds, batch_size: int = 1) -> Dict[st
         shape = (n_max - n_local,) + x.shape[1:]
         return np.concatenate([x, np.zeros(shape, x.dtype)], axis=0)
 
-    if n_local == 0:  # more processes than samples
-        raise ValueError("evaluate_model_multiprocess: empty local shard")
     payload = {k: pad(v) for k, v in det.items()}
     payload["n_valid"] = np.asarray([n_local], np.int32)
 

@@ -39,7 +39,13 @@ def device_peak_tflops() -> Optional[float]:
 
 
 def compiled_flops(compiled) -> Optional[float]:
-    """Total FLOPs of a jax Compiled object per execution, or None."""
+    """Total FLOPs of a jax Compiled object per execution, or None.
+
+    CAVEAT: XLA's cost analysis counts a `lax.scan`/while-loop BODY once,
+    not times the trip count — for an executable that chains iterations in
+    a scan (the RTT-amortized bench protocol), use `lowered_flops` on the
+    single-iteration function instead and divide by the true batch only.
+    """
     try:
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
@@ -47,6 +53,38 @@ def compiled_flops(compiled) -> Optional[float]:
         return float(f) if f and f > 0 else None
     except Exception:
         return None
+
+
+def lowered_flops(fn, *args) -> Optional[float]:
+    """FLOPs of one call of ``fn(*args)`` from the unoptimized lowering —
+    no backend compile needed; matmul/conv FLOPs are fusion-invariant.
+
+    The axon (remote TPU) backend returns None from a Lowered's
+    cost_analysis; the in-process CPU backend's lowering of the same
+    function gives the identical platform-independent count, so fall back
+    to lowering against CPU (lowering only needs avals — nothing runs)."""
+    import jax
+
+    def _try(lower_ctx):
+        try:
+            with lower_ctx():
+                ca = jax.jit(fn).lower(*args).cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            f = ca.get("flops")
+            return float(f) if f and f > 0 else None
+        except Exception:
+            return None
+
+    import contextlib
+
+    out = _try(contextlib.nullcontext)
+    if out is not None:
+        return out
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return None
+    return _try(lambda: jax.default_device(cpu))
 
 
 def mfu_fields(flops_per_item: Optional[float], items_per_s: float) -> dict:

@@ -85,11 +85,24 @@ def test_two_process_cpu_train(tmp_path):
 def test_two_process_eval_hook(tmp_path):
     """In-training eval under 2 coordinated processes (EvalHook-under-DDP):
     each decodes its stride of the val split, metrics gathered via
-    process_allgather, rank 0 logs full-split val/mAP."""
+    process_allgather, rank 0 logs full-split val/mAP.
+
+    The val split has 7 samples — NOT divisible by the process count: the
+    processes run different numbers of eval steps, which deadlocked when
+    the eval step was traced under the ambient pod mesh (its collectives
+    had no peers on the extra step). The decode now runs under a local
+    mesh (evaluate.py); this test pins both the completion and that the
+    multi-process metrics EQUAL a single-process eval of the saved
+    checkpoint (each process really contributed its own stride's decodes).
+    """
     infos = make_synth_infos(tmp_path, n=6)
     pkl = tmp_path / "infos.pkl"
     with open(pkl, "wb") as f:
         pickle.dump({"infos": infos, "metadata": {"version": "synthetic"}}, f)
+    val_infos = make_synth_infos(tmp_path, n=7)
+    val_pkl = tmp_path / "val_infos.pkl"
+    with open(val_pkl, "wb") as f:
+        pickle.dump({"infos": val_infos, "metadata": {"version": "synthetic"}}, f)
     work = tmp_path / "work"
 
     env = dict(os.environ)
@@ -107,7 +120,7 @@ def test_two_process_eval_hook(tmp_path):
             sys.executable, "-m", "petr_tpu.cli.train",
             "--config", "tiny_debug", "--infos", str(pkl),
             "--work-dir", str(work), "--epochs", "1", "--log-every", "1",
-            "--batch-size", "2", "--eval-infos", str(pkl),
+            "--batch-size", "2", "--eval-infos", str(val_pkl),
             "--coordinator", f"localhost:{port}",
             "--num-processes", "2", "--process-id", str(pid),
         ]
@@ -131,3 +144,26 @@ def test_two_process_eval_hook(tmp_path):
     assert np.isfinite(val_recs[-1]["val/mAP"])
     # only rank 0 printed the val record
     assert "val/mAP" in outs[0] and "val/mAP" not in outs[1]
+
+    # the 2-process metrics must EQUAL a single-process eval of the saved
+    # checkpoint — each process contributed its own stride (a decode that
+    # silently used one rank's data for both would differ here)
+    import jax
+
+    from petr_tpu.configs import get_config
+    from petr_tpu.data.dataset import NuScenesDataset, collate_batch
+    from petr_tpu.train.checkpoint import latest_checkpoint, load_params
+    from petr_tpu.train.evaluate import evaluate_model
+    from petr_tpu.train.train_step import create_train_state
+
+    cfg = get_config("tiny_debug")
+    val_ds = NuScenesDataset(val_infos, cfg.data, training=False)
+    batch0 = collate_batch([val_ds.get(0), val_ds.get(1)])
+    batch0.pop("tokens", None)
+    batch0 = {k: jax.numpy.asarray(v) for k, v in batch0.items()}
+    params_like = create_train_state(cfg, jax.random.PRNGKey(0), 10, batch0).params
+    params = load_params(latest_checkpoint(str(work / "ckpts")), params_like)
+    single = evaluate_model(cfg, params, val_ds, batch_size=2)
+    for k in ("mAP", "NDS", "mATE"):
+        assert abs(single[k] - val_recs[-1][f"val/{k}"]) < 1e-6, (
+            k, single[k], val_recs[-1][f"val/{k}"])

@@ -7,13 +7,13 @@ import numpy as np
 import pytest
 
 from petr_tpu.data.info import build_infos
-from petr_tpu.metrics.nuscenes import DetectionBox
+from petr_tpu.metrics.nuscenes import DetectionBox, _rot_of as quat_to_rot
 from petr_tpu.metrics.submission import (
+    _rot_to_quat,
     build_submission,
     format_sample,
     lidar_box_to_global,
     quat_mult,
-    quat_to_rot,
 )
 from test_info_builder import fake_db  # noqa: F401  (pytest fixture)
 
@@ -35,6 +35,8 @@ def test_quat_helpers():
             quat_to_rot(quat_mult(q1, q2)), quat_to_rot(q1) @ quat_to_rot(q2),
             atol=1e-12,
         )
+        # matrix -> quaternion inverse (info records may store 3x3 poses)
+        assert _quat_close(_rot_to_quat(quat_to_rot(q1)), q1, atol=1e-9)
 
 
 def test_roundtrip_global_lidar_global(fake_db):  # noqa: F811

@@ -68,7 +68,7 @@ def main():
         from petr_tpu.models.resnet import ResNet
 
         bb = ResNet(
-            depth=50,
+            depth=int(cfg.model.backbone.spec[1:]),  # "r50" -> 50 (detector.py:60)
             out_indices=cfg.model.backbone.out_indices,
             dcn_stages=cfg.model.backbone.dcn_stages,
             remat_stages=False,

@@ -9,8 +9,9 @@ for the reference's golden-metric protocol
 Generalization (not memorization) is what's measured: val scenes are never
 seen in training.
 
-    python tools/synth_train_eval.py   # defaults = the validated recipe:
-    #   synth_small preset, 80 scenes (8 held out), 12k steps, floor 0.15
+    python tools/synth_train_eval.py   # defaults: synth_small preset,
+    #   80 scenes (8 held out), 12k steps, floor 0.15
+    # (measured runs + shorter recipes: README "Measured performance")
 
 Prints one JSON line {train_loss_first, train_loss_last, val/mAP, val/NDS,
 ...} and exits nonzero if held-out mAP (over the 3 present classes) is
