@@ -1,8 +1,7 @@
 """Procedural multi-scene synthetic dataset (petr_tpu/data/synthetic.py):
 schema completeness, render/geometry consistency under augmentation, and
 CLI integration (the in-container proxy for the reference's golden-metric
-protocol — full held-out floors run on TPU via tools/synth_train_eval.py;
-numbers in README)."""
+protocol — full held-out floors run on TPU via tools/synth_train_eval.py)."""
 
 import json
 import sys
