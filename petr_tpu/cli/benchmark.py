@@ -114,6 +114,11 @@ def main():
     from petr_tpu.utils.mfu import compiled_flops, mfu_fields
 
     flops = compiled_flops(compiled)
+    if args.train and flops and cfg.train.grad_accum > 1:
+        # XLA's cost analysis counts the grad-accum lax.scan BODY once;
+        # scale to the true per-step work or MFU is understated by the
+        # accumulation factor.
+        flops *= cfg.train.grad_accum
     fps = args.iters * B / dt
     print(
         json.dumps(

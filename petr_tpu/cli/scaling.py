@@ -37,6 +37,9 @@ def main():
     p.add_argument("--model-parallel", type=int, default=None,
                    help="fix the model-axis size (default: devices, i.e. pure "
                         "token sharding at n<=local chips)")
+    p.add_argument("--out", default=None, metavar="JSON",
+                   help="write the full per-device-count result list (plus "
+                        "config/protocol metadata) to this file")
     args = p.parse_args()
 
     import os
@@ -109,6 +112,14 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
         del state, sharded, batches
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"config": args.config, "virtual_cpu": args.virtual,
+                       "batch_per_device": args.batch_per_device,
+                       "protocol": "weak scaling: fixed per-device batch, "
+                                   "efficiency = t(1)/t(n)",
+                       "results": results}, f, indent=1)
+        print(f"wrote {args.out}", flush=True)
     return results
 
 

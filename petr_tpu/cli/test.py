@@ -51,6 +51,12 @@ def parse_args():
         "adds a horizontally mirrored variant",
     )
     p.add_argument(
+        "--classes", default=None, metavar="A,B,...",
+        help="restrict metric scoring to these classes (devkit semantics "
+        "score ALL classes, counting no-GT classes as AP 0 — pass the "
+        "present subset on restricted synthetic data)",
+    )
+    p.add_argument(
         "--streaming", action="store_true",
         help="PETRv2 streaming eval: scene-ordered, backbone on the 6 new "
         "views per frame, previous-frame features cached "
@@ -192,7 +198,10 @@ def main():
     from petr_tpu.metrics.nuscenes import ground_truth_from_infos
 
     gts = ground_truth_from_infos(ds.infos)
-    results = evaluate_detections(gts, preds)
+    if args.classes:
+        results = evaluate_detections(gts, preds, classes=tuple(args.classes.split(",")))
+    else:
+        results = evaluate_detections(gts, preds)
     for k, v in sorted(results.items()):
         print(f"{k}: {v:.4f}")
 

@@ -267,6 +267,31 @@ _register(ExperimentConfig(
         lr=2e-4, warmup_iters=50, min_lr_ratio=0.2, backbone_lr_mult=1.0)),
 ))
 
+# 2-frame PETRv2 variant of synth_small: the temporal-pathway validation
+# preset (tools/synth_train_eval.py --config synth_small_v2 on a
+# velocity_hue=False dataset — inter-frame motion is the only velocity
+# signal, so beating the single-frame model's held-out mAVE proves the
+# with_time normalization + sweep loader actually TRAIN, reference
+# `petrv2_head.py:499-521`). Sizes match synth_small for a fair comparison.
+_register(ExperimentConfig(
+    name="synth_small_v2",
+    model=ModelConfig(
+        backbone=BackboneConfig(kind="vovnet", spec="V-39-eSE", out_indices=(2, 3)),
+        head=HeadConfig(kind="petrv2", num_query=64, embed_dim=128, num_layers=3,
+                        num_heads=4, ffn_dim=256, depth_num=16,
+                        with_fpe=True, with_time=True, with_multi_reg=True,
+                        shared_branches=False),
+        use_grid_mask=False,
+        compute_dtype="float32",
+    ),
+    data=DataConfig(image_size=(128, 320), final_dim=(128, 320),
+                    resize_lim=(1.0, 1.0), src_hw=(128, 320), max_gt=32,
+                    num_frames=2),
+    train=TrainConfig(optim=OptimConfig(
+        lr=2e-4, warmup_iters=50, min_lr_ratio=0.2, backbone_lr_mult=1.0,
+        code_weights=(1.0,) * 10)),
+))
+
 # tiny 2-frame (PETRv2-style) smoke preset for the streaming path
 _register(ExperimentConfig(
     name="tiny_debug_v2",

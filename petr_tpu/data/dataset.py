@@ -161,7 +161,11 @@ class NuScenesDataset:
             if sweeps:
                 lo, hi = self.sweep_range
                 if self.training:
-                    idx = int(rng.integers(lo, min(hi, len(sweeps))))
+                    # records with <= lo sweeps (short scenes, synthetic
+                    # 1-sweep infos) take the last available sweep instead
+                    # of crashing the empty randint range
+                    hi_eff = min(hi, len(sweeps))
+                    idx = int(rng.integers(lo, hi_eff)) if hi_eff > lo else len(sweeps) - 1
                 else:
                     idx = min((lo + hi) // 2, len(sweeps) - 1)
                 idx = min(max(idx, 0), len(sweeps) - 1)

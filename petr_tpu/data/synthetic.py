@@ -79,9 +79,14 @@ def _corners(box7: np.ndarray) -> np.ndarray:
     return np.stack([cx, cy, dz + z], -1)
 
 
-def _render_view(img, cam, boxes7, names, vels):
+def _render_view(img, cam, boxes7, names, vels, velocity_hue=True):
     """Painter's-algorithm rectangles: project corners, fill the clipped
-    image-plane AABB with the class color + a velocity hue shift."""
+    image-plane AABB with the class color + a velocity hue shift.
+
+    ``velocity_hue=False`` removes the hue cue — then inter-frame MOTION is
+    the only velocity signal, so only temporal (2-frame, PETRv2) models can
+    learn AVE; this is the discriminative dataset for validating the
+    with_time velocity pathway (reference `petrv2_head.py:499-521`)."""
     H, W = img.shape[:2]
     K, R, t = cam["K"], cam["R"], cam["t"]
     depth_order = []
@@ -104,8 +109,9 @@ def _render_view(img, cam, boxes7, names, vels):
         base = np.array(_CLASS_SPEC[names[i]][1])
         shade = np.clip(1.1 - depth / 60.0, 0.45, 1.0)
         color = base * shade
-        # velocity cue: hue shift proportional to (vx, vy)
-        color = color + np.array([12.0 * vels[i][0], 12.0 * vels[i][1], 0.0])
+        if velocity_hue:
+            # velocity cue: hue shift proportional to (vx, vy)
+            color = color + np.array([12.0 * vels[i][0], 12.0 * vels[i][1], 0.0])
         img[v0:v1, u0:u1] = np.clip(color, 0, 255)
     return img
 
@@ -136,9 +142,12 @@ def generate_synthetic_scenes(
     val_scenes: int = 2,
     seed: int = 0,
     dt: float = 0.5,
+    velocity_hue: bool = True,
 ) -> Dict[str, List[Dict]]:
     """Render scenes to ``out_dir`` and return {"train": infos, "val": infos}
-    (held-out scenes go to val). Also writes synth_infos_{train,val}.pkl."""
+    (held-out scenes go to val). Also writes synth_infos_{train,val}.pkl.
+    ``velocity_hue=False``: motion across frames is the ONLY velocity signal
+    (see `_render_view`)."""
     from PIL import Image
 
     os.makedirs(out_dir, exist_ok=True)
@@ -162,7 +171,7 @@ def generate_synthetic_scenes(
                 img += rng.normal(0, 6.0, img.shape)
                 # horizon gradient so "up" is learnable
                 img += np.linspace(18, -18, H)[:, None, None]
-                img = _render_view(img, cam, pos, names, vels)
+                img = _render_view(img, cam, pos, names, vels, velocity_hue)
                 path = os.path.join(out_dir, f"s{s}_f{fidx}_{cname}.jpg")
                 Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)[..., ::-1]).save(
                     path, quality=92

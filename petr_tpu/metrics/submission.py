@@ -43,21 +43,31 @@ def quat_mult(q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
 
 
 def _rot_to_quat(R: np.ndarray) -> np.ndarray:
-    """(3, 3) rotation matrix -> (w, x, y, z) quaternion (w >= 0)."""
-    w = 0.5 * np.sqrt(max(1.0 + R[0, 0] + R[1, 1] + R[2, 2], 0.0))
-    if w > 1e-6:
-        q = np.array([w, (R[2, 1] - R[1, 2]) / (4 * w),
-                      (R[0, 2] - R[2, 0]) / (4 * w),
-                      (R[1, 0] - R[0, 1]) / (4 * w)])
-    else:  # w ~ 0: pick the dominant axis
-        i = int(np.argmax(np.diag(R)))
+    """(3, 3) rotation matrix -> (w, x, y, z) quaternion (w >= 0).
+
+    Shepperd's method: branch on the largest of {trace, R00, R11, R22} so
+    the divisor is always the dominant quaternion component — stable for
+    rotations near pi, where a w-first form divides near-cancelling
+    off-diagonal differences by a tiny 4w.
+    """
+    diag = np.diag(R)
+    tr = float(diag.sum())
+    if tr > diag.max():
+        s = np.sqrt(tr + 1.0) * 2.0  # s = 4w
+        q = np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                      (R[0, 2] - R[2, 0]) / s,
+                      (R[1, 0] - R[0, 1]) / s])
+    else:
+        i = int(np.argmax(diag))
         j, k = (i + 1) % 3, (i + 2) % 3
-        s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12))
+        s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12)) * 2.0  # 4*q_i
         q = np.zeros(4)
-        q[0] = (R[k, j] - R[j, k]) / (2 * s)
-        q[1 + i] = 0.5 * s
-        q[1 + j] = (R[j, i] + R[i, j]) / (2 * s)
-        q[1 + k] = (R[k, i] + R[i, k]) / (2 * s)
+        q[0] = (R[k, j] - R[j, k]) / s
+        q[1 + i] = 0.25 * s
+        q[1 + j] = (R[j, i] + R[i, j]) / s
+        q[1 + k] = (R[k, i] + R[i, k]) / s
+    if q[0] < 0.0:
+        q = -q
     return q / np.linalg.norm(q)
 
 

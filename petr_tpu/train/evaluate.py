@@ -108,6 +108,12 @@ def evaluate_model_multiprocess(cfg, params, ds, batch_size: int = 1) -> Dict[st
     params_host = jax.device_get(params)  # replicated -> every shard local
     from petr_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
+    # ONE local device per process is intentional, not an oversight: the
+    # stride's tail batch (drop_last=False) can be any size, so a
+    # multi-device data axis would need divisibility padding through the
+    # decode + metric path for a phase that is a tiny fraction of training
+    # wall time. Hosts wanting device-parallel eval should shard the val
+    # split one-process-per-device instead (each process claims one device).
     local_mesh = jax.sharding.Mesh(
         np.asarray(jax.local_devices()[:1]).reshape(1, 1), (DATA_AXIS, MODEL_AXIS)
     )

@@ -58,11 +58,18 @@ def compiled_flops(compiled) -> Optional[float]:
 def lowered_flops(fn, *args) -> Optional[float]:
     """FLOPs of one call of ``fn(*args)`` from the unoptimized lowering —
     no backend compile needed; matmul/conv FLOPs are fusion-invariant.
+    This is the CANONICAL flop basis for MFU (`bench.py`, `bench_train`).
 
     The axon (remote TPU) backend returns None from a Lowered's
     cost_analysis; the in-process CPU backend's lowering of the same
     function gives the identical platform-independent count, so fall back
-    to lowering against CPU (lowering only needs avals — nothing runs)."""
+    to lowering against CPU (lowering only needs avals — nothing runs).
+
+    LIMITATION: returns None (silently) for functions containing Pallas
+    kernels when called from an axon process — Pallas refuses CPU lowering
+    there, and XLA cost analysis would not count a pallas_call's interior
+    flops anyway. Callers must count a flash-free equivalent of the model
+    (`use_flash_attention=False` — parity-tested identical math)."""
     import jax
 
     def _try(lower_ctx):

@@ -46,6 +46,13 @@ def main():
                    help="also score the TRAIN scenes (memorization diagnostic)")
     p.add_argument("--no-aug", action="store_true",
                    help="disable flip/BEV aug (diagnostic)")
+    p.add_argument("--no-velocity-hue", action="store_true",
+                   help="render WITHOUT the velocity hue cue: inter-frame "
+                   "motion becomes the only velocity signal (temporal-"
+                   "pathway discrimination; see data/synthetic.py)")
+    p.add_argument("--save-ckpt", default=None, metavar="DIR",
+                   help="save final params as an orbax checkpoint under DIR "
+                   "(for cli.test --streaming on the learned weights)")
     p.add_argument("--set", nargs="*", default=[], dest="overrides",
                    metavar="KEY=VAL", help="dotted config overrides")
     args = p.parse_args()
@@ -65,6 +72,7 @@ def main():
     splits = generate_synthetic_scenes(
         args.out_dir, n_scenes=args.scenes, frames_per_scene=args.frames,
         image_hw=(H, W), n_objects=args.objects, seed=args.seed,
+        velocity_hue=not args.no_velocity_hue,
     )
     print(f"generated {len(splits['train'])} train / {len(splits['val'])} val "
           f"frames in {time.time() - t0:.1f}s", flush=True)
@@ -131,8 +139,16 @@ def main():
                             batch_size=args.batch_size, classes=SYNTH_CLASSES)
         print(json.dumps({f"train/{k}": round(float(v), 4)
                           for k, v in sorted(tr.items())}), flush=True)
+    if args.save_ckpt:
+        from petr_tpu.train.checkpoint import save_checkpoint
+
+        path = save_checkpoint(args.save_ckpt, int(state.step), state,
+                               meta={"config": args.config})
+        print(f"saved checkpoint: {path}", flush=True)
+
     rec = {"steps": args.steps, "train_loss_first": round(first, 3),
            "train_loss_last": round(last, 3),
+           "wall_s": round(time.time() - t0, 1),
            **{f"val/{k}": round(float(v), 4) for k, v in sorted(results.items())}}
     print(json.dumps(rec), flush=True)
     if results["mAP"] < args.floor:
