@@ -204,6 +204,75 @@ def photometric_distortion(
     return img.astype(np.float32)
 
 
+def _box_blur(img: np.ndarray, k: int) -> np.ndarray:
+    """k x k box blur, reflect-101 borders (cv2.blur default) via integral
+    image — no cv2/scipy dependency."""
+    pad = k // 2
+    x = np.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="reflect").astype(np.float64)
+    c = np.cumsum(np.cumsum(x, 0), 1)
+    c = np.pad(c, ((1, 0), (1, 0), (0, 0)))
+    s = c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k]
+    return (s / (k * k)).astype(np.float32)
+
+
+def albu_native(transforms: Sequence[dict], max_value: float = 255.0):
+    """Native NumPy implementations of the commonest albumentations ops —
+    the reference's ``AlbuMultiview3D`` capability (transform_3d.py:550-682,
+    registered but unused by every shipped config) without the optional
+    dependency. Supported specs (mmcv-style dicts):
+
+      {"type": "Blur", "blur_limit": 7, "p": 0.5}
+          random odd box-kernel size in [3, blur_limit], reflect-101 borders
+      {"type": "RandomBrightnessContrast", "brightness_limit": 0.2,
+       "contrast_limit": 0.2, "p": 0.5}
+          img * (1 + U(-c, c)) + U(-b, b) * max_value
+      {"type": "CoarseDropout" | "Cutout", "max_holes": 8, "max_height": 8,
+       "max_width": 8, "fill_value": 0, "p": 0.5}
+          random filled rectangles
+
+    Returns a callable ``(img_f32_hwc, rng) -> img_f32_hwc`` for
+    ``NuScenesDataset(view_transform=...)``. Unknown types raise at build
+    time (fail fast, like the reference's albumentations Compose would).
+    """
+    specs = []
+    for t in transforms:
+        t = dict(t)
+        kind = t.pop("type")
+        if kind not in ("Blur", "RandomBrightnessContrast", "CoarseDropout",
+                       "Cutout"):
+            raise ValueError(f"albu_native: unsupported transform {kind!r} "
+                             "(use albu_multiview with the albumentations "
+                             "package, or any per-view callable)")
+        specs.append((kind, t))
+
+    def apply(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        img = img.astype(np.float32)
+        for kind, t in specs:
+            if rng.random() >= t.get("p", 0.5):
+                continue
+            if kind == "Blur":
+                lim = int(t.get("blur_limit", 7))
+                k = int(rng.integers(1, max(lim // 2, 1) + 1)) * 2 + 1
+                img = _box_blur(img, k)
+            elif kind == "RandomBrightnessContrast":
+                alpha = 1.0 + rng.uniform(-1, 1) * t.get("contrast_limit", 0.2)
+                beta = rng.uniform(-1, 1) * t.get("brightness_limit", 0.2)
+                img = np.clip(img * alpha + beta * max_value, 0, max_value)
+            else:  # CoarseDropout / Cutout
+                h, w = img.shape[:2]
+                n = int(rng.integers(1, int(t.get("max_holes", 8)) + 1))
+                fill = float(t.get("fill_value", 0))
+                for _ in range(n):
+                    hh = int(rng.integers(1, int(t.get("max_height", 8)) + 1))
+                    ww = int(rng.integers(1, int(t.get("max_width", 8)) + 1))
+                    y = int(rng.integers(0, max(h - hh, 0) + 1))
+                    x = int(rng.integers(0, max(w - ww, 0) + 1))
+                    img[y : y + hh, x : x + ww] = fill
+        return img
+
+    return apply
+
+
 def albu_multiview(transforms: Sequence[dict]):
     """Albumentations wrapper per view (reference ``AlbuMultiview3D``,
     transform_3d.py:550-682 — registered but unused by shipped configs).

@@ -275,3 +275,71 @@ def test_valid_flag_filters_training_gt(tmp_path):
     info.pop("valid_flag"); info.pop("num_lidar_pts")
     s3 = ds2.get(0, seed=0)
     assert int(s3["gt_valid"].sum()) == 5
+
+
+def test_albu_native_blur_matches_uniform_filter():
+    """Box blur = scipy uniform_filter with mirror (reflect-101) borders."""
+    from scipy.ndimage import uniform_filter
+
+    from petr_tpu.data.transforms import _box_blur
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (17, 23, 3)).astype(np.float32)
+    for k in (3, 5, 7):
+        ours = _box_blur(img, k)
+        ref = np.stack(
+            [uniform_filter(img[..., c], size=k, mode="mirror") for c in range(3)], -1
+        )
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_albu_native_ops_and_pipeline():
+    from petr_tpu.data.transforms import albu_native
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 255, (32, 40, 3)).astype(np.float32)
+
+    # contrast/brightness stays in range and actually changes the image
+    fn = albu_native([{"type": "RandomBrightnessContrast", "p": 1.0}])
+    out = fn(img, np.random.default_rng(2))
+    assert out.shape == img.shape and out.min() >= 0 and out.max() <= 255
+    assert not np.allclose(out, img)
+
+    # cutout zeroes some pixels, touches nothing else
+    fn = albu_native([{"type": "CoarseDropout", "max_holes": 4, "p": 1.0,
+                       "max_height": 6, "max_width": 6, "fill_value": 0}])
+    out = fn(img, np.random.default_rng(3))
+    changed = np.any(out != img, axis=-1)
+    assert changed.any()
+    assert np.all(out[changed] == 0.0)
+
+    # p=0 is identity; unknown type raises at build time
+    fn = albu_native([{"type": "Blur", "p": 0.0}])
+    np.testing.assert_array_equal(fn(img, np.random.default_rng(4)), img)
+    with pytest.raises(ValueError, match="unsupported"):
+        albu_native([{"type": "ElasticTransform"}])
+
+
+def test_albu_native_through_dataset_view_transform(tmp_path):
+    """albu_native plugs into the Dataset's view_transform extension point
+    (the reference wires AlbuMultiview3D into the pipeline the same way)."""
+    from petr_tpu.configs import get_config
+    from petr_tpu.data import NuScenesDataset
+    from petr_tpu.data.synthetic import generate_synthetic_scenes
+    from petr_tpu.data.transforms import albu_native
+
+    splits = generate_synthetic_scenes(
+        str(tmp_path), n_scenes=2, frames_per_scene=1, image_hw=(32, 80),
+        n_objects=2, val_scenes=1,
+    )
+    cfg = get_config("tiny_debug").data
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, src_hw=(32, 80))
+    vt = albu_native([{"type": "RandomBrightnessContrast", "p": 1.0}])
+    ds = NuScenesDataset(splits["train"], cfg, training=True, src_hw=(32, 80),
+                         view_transform=vt)
+    base = NuScenesDataset(splits["train"], cfg, training=True, src_hw=(32, 80))
+    a, b = ds.get(0, seed=5), base.get(0, seed=5)
+    assert a["images"].shape == b["images"].shape
+    assert not np.allclose(a["images"], b["images"])

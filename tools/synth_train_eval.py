@@ -32,6 +32,7 @@ def main():
     p.add_argument("--config", default="synth_small")
     p.add_argument("--steps", type=int, default=12000)
     p.add_argument("--scenes", type=int, default=80)
+    p.add_argument("--val-scenes", type=int, default=2)
     p.add_argument("--frames", type=int, default=4)
     p.add_argument("--objects", type=int, default=6)
     p.add_argument("--image-hw", type=int, nargs=2, default=(128, 320))
@@ -72,7 +73,7 @@ def main():
     splits = generate_synthetic_scenes(
         args.out_dir, n_scenes=args.scenes, frames_per_scene=args.frames,
         image_hw=(H, W), n_objects=args.objects, seed=args.seed,
-        velocity_hue=not args.no_velocity_hue,
+        val_scenes=args.val_scenes, velocity_hue=not args.no_velocity_hue,
     )
     print(f"generated {len(splits['train'])} train / {len(splits['val'])} val "
           f"frames in {time.time() - t0:.1f}s", flush=True)
