@@ -62,6 +62,16 @@ class HeadConfig:
     with_time: bool = False
     with_multi_reg: bool = False
     position_level: int = 0
+    # depthr extensions: GT depth-map stride is depth_map_down_scale *
+    # depth_encoder_down_scale and must equal the head feature stride
+    # (reference C5: 8 * 4 = 32; a p4/stride-16 config uses 4 * 4); LID bin
+    # parameters from `depthr_r50dcn_c5_512_1408_gtdepth.py` (80 bins,
+    # 1e-3..60 m)
+    depth_map_down_scale: int = 8
+    depth_encoder_down_scale: int = 4
+    depth_bins: int = 80
+    depth_map_min: float = 1e-3
+    depth_map_max: float = 60.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -258,6 +268,54 @@ _register(ExperimentConfig(
         backbone=BackboneConfig(kind="vovnet", spec="V-39-eSE", out_indices=(2, 3)),
         head=HeadConfig(num_query=64, embed_dim=128, num_layers=3, num_heads=4,
                         ffn_dim=256, depth_num=16),
+        use_grid_mask=False,
+        compute_dtype="float32",
+    ),
+    data=DataConfig(image_size=(128, 320), final_dim=(128, 320),
+                    resize_lim=(1.0, 1.0), src_hw=(128, 320), max_gt=32),
+    train=TrainConfig(optim=OptimConfig(
+        lr=2e-4, warmup_iters=50, min_lr_ratio=0.2, backbone_lr_mult=1.0)),
+))
+
+# r50dcn variant of synth_small: end-to-end on-chip training validation of
+# the Pallas DCNv2 custom VJP (unit-level gradient parity alone does not
+# prove the kernel trains stably at real step counts). ResNet-50-DCN
+# backbone exactly as the reference family (caffe BN frozen, DCN stages
+# 3-4 -> Pallas kernel on 256/512-channel planes), shrunk head, bf16
+# compute (the production dtype for this family).
+_register(ExperimentConfig(
+    name="synth_small_r50dcn",
+    model=ModelConfig(
+        # train_bn_affine=True deviates from the reference family ON PURPOSE:
+        # the reference's frozen affine assumes ImageNet-pretrained stats;
+        # training from scratch with frozen random stats AND frozen affine
+        # would handicap learning for reasons unrelated to what this preset
+        # validates (the DCN kernel's backward).
+        backbone=dataclasses.replace(_r50((2, 3)), train_bn_affine=True),
+        head=HeadConfig(num_query=64, embed_dim=128, num_layers=3, num_heads=4,
+                        ffn_dim=256, depth_num=16),
+        use_grid_mask=False,
+    ),
+    data=DataConfig(image_size=(128, 320), final_dim=(128, 320),
+                    resize_lim=(1.0, 1.0), src_hw=(128, 320), max_gt=32),
+    train=TrainConfig(optim=OptimConfig(
+        lr=2e-4, warmup_iters=50, min_lr_ratio=0.2, backbone_lr_mult=1.0)),
+))
+
+# Depthr variant of synth_small: on-chip smoke-to-metric validation of the
+# depth-guided decoder (GT-depth oracle — projected GT depth maps are exact,
+# so this is the easiest head to learn; reference golden anchor
+# `depthr_r50dcn_c5_512_1408_gtdepth.py:315-323`).
+_register(ExperimentConfig(
+    name="synth_small_depthr",
+    model=ModelConfig(
+        backbone=BackboneConfig(kind="vovnet", spec="V-39-eSE", out_indices=(2, 3)),
+        head=HeadConfig(kind="depthr", num_query=64, embed_dim=128, num_layers=3,
+                        num_heads=4, ffn_dim=256, depth_num=16,
+                        # stride-16 features: 4 * 4 depth-map stride
+                        depth_map_down_scale=4,
+                        # synthetic scenes span ~6-34 m
+                        depth_map_max=40.0, depth_bins=40),
         use_grid_mask=False,
         compute_dtype="float32",
     ),

@@ -139,7 +139,14 @@ def _apply_head(
         assert gt_boxes is not None and lidar2img is not None, (
             "Depthr (GT-depth oracle) needs gt_boxes/gt_valid/lidar2img"
         )
-        return DepthrHead(**head_kwargs)(
+        return DepthrHead(
+            depth_map_down_scale=hcfg.depth_map_down_scale,
+            depth_encoder_down_scale=hcfg.depth_encoder_down_scale,
+            depth_bins=hcfg.depth_bins,
+            depth_map_min=hcfg.depth_map_min,
+            depth_map_max=hcfg.depth_map_max,
+            **head_kwargs,
+        )(
             f, img2lidar, img_hw, input_hw,
             gt_boxes=gt_boxes, gt_valid=gt_valid, lidar2img=lidar2img,
         )

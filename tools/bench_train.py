@@ -63,8 +63,27 @@ def main():
             for _ in range(iters):
                 run_chain()
             dt = (time.perf_counter() - t0) / (iters * K)
+
+            # Canonical train-step flops (fwd+bwd+remat recompute+optimizer):
+            # unoptimized lowering with the Pallas flash VJP swapped for its
+            # XLA-attention equivalent (identical math — Pallas refuses CPU
+            # lowering from an axon process and its interior flops are
+            # invisible to cost analysis). Scaled by grad_accum because XLA
+            # counts the accumulation scan body once.
+            from petr_tpu.utils.mfu import lowered_flops, mfu_fields
+
+            cfg_nf = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, use_flash_attention=False)
+            )
+            flops = lowered_flops(make_train_step(cfg_nf), state, batches[0], rng)
+            mfu = ""
+            if flops:
+                f = mfu_fields(flops * cfg.train.grad_accum / B, B / dt)
+                mfu = (f"  {f.get('model_gflops', 0):7.1f} GF/sample"
+                       f"  {f.get('achieved_tflops', 0):6.2f} TF/s"
+                       f"  mfu {f.get('mfu_pct', float('nan')):4.1f}%")
             print(
-                f"batch {B}: {dt*1e3:7.1f} ms/step  {B/dt:6.2f} samples/s/chip",
+                f"batch {B}: {dt*1e3:7.1f} ms/step  {B/dt:6.2f} samples/s/chip{mfu}",
                 flush=True,
             )
             del state, batches
