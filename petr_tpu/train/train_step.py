@@ -174,7 +174,16 @@ def make_train_step(cfg: ExperimentConfig, axis_name: Optional[str] = None):
             grads = jax.lax.pmean(grads, axis_name)
             total = jax.lax.pmean(total, axis_name)
         new_state = state.apply_gradients(grads)
-        metrics = {"loss": total, **losses}
+        # divergence diagnostics (cheap reductions; note the losses are
+        # nan_to_num'd for reference parity, so a blown-up run shows
+        # loss=0.0 — grad_norm/nonfinite make the cause visible)
+        gnorm = optax.global_norm(grads)
+        nonfinite = sum(
+            jnp.sum(~jnp.isfinite(g)) for g in jax.tree.leaves(grads)
+        )
+        metrics = {"loss": total, **losses,
+                   "grad_norm": gnorm,
+                   "grad_nonfinite": nonfinite.astype(jnp.int32)}
         return new_state, metrics
 
     return train_step

@@ -98,3 +98,31 @@ def test_synthetic_through_train_cli(tmp_path, monkeypatch, capsys):
     val_recs = [r for r in recs if any(k.startswith("val/") for k in r)]
     assert val_recs and "val/NDS" in val_recs[-1]
     assert np.isfinite(val_recs[-1]["val/NDS"])
+
+@pytest.mark.slow
+def test_synthetic_temporal_through_train_cli(tmp_path, monkeypatch, capsys):
+    """2-frame (PETRv2) config through the CLI on the synthetic pkl: the
+    sweep loader consumes the 1-sweep synthetic records (sweeps_cams),
+    with_time sees real inter-frame timestamps, and in-training eval runs.
+    The held-out temporal floors run on TPU (synth_small_v2 +
+    --no-velocity-hue; README table)."""
+    from petr_tpu.cli import train as train_cli
+
+    generate_synthetic_scenes(str(tmp_path), n_scenes=3, frames_per_scene=2,
+                              image_hw=(32, 80), n_objects=4, val_scenes=1,
+                              velocity_hue=False)
+    work = tmp_path / "work"
+    monkeypatch.setattr(sys, "argv", [
+        "train", "--config", "tiny_debug_v2",
+        "--infos", str(tmp_path / "synth_infos_train.pkl"),
+        "--eval-infos", str(tmp_path / "synth_infos_val.pkl"),
+        "--work-dir", str(work), "--epochs", "1", "--log-every", "1",
+        "--batch-size", "2",
+        "--set", "data.src_hw=(32,80)", "data.resize_lim=(1.0,1.0)",
+    ])
+    train_cli.main()
+    capsys.readouterr()
+    recs = [json.loads(l) for l in open(work / "train_log.jsonl")]
+    val_recs = [r for r in recs if any(k.startswith("val/") for k in r)]
+    assert val_recs and np.isfinite(val_recs[-1]["val/NDS"])
+    assert np.isfinite(val_recs[-1].get("val/mAVE", np.inf))

@@ -119,8 +119,17 @@ def main():
                 last = float(metrics["loss"])
                 if first is None:
                     first = last
-                print(f"step {step:5d}  loss {last:.4f}  "
-                      f"({step / max(time.time() - t0, 1e-9):.2f} it/s)", flush=True)
+                gn = float(metrics.get("grad_norm", float("nan")))
+                nf = int(metrics.get("grad_nonfinite", 0))
+                print(f"step {step:5d}  loss {last:.4f}  gnorm {gn:9.2f}  "
+                      f"({step / max(time.time() - t0, 1e-9):.2f} it/s)"
+                      + (f"  NONFINITE_GRADS={nf}" if nf else ""), flush=True)
+                # a blown-up run shows loss==0.0 forever (losses are
+                # nan_to_num'd, reference parity) — stop burning chip time
+                if not (last > 0.0) or nf:
+                    print(f"ABORT: training diverged at step {step} "
+                          f"(loss={last}, nonfinite_grads={nf})", flush=True)
+                    sys.exit(2)
             if args.eval_every and step % args.eval_every == 0 and step < args.steps:
                 r = evaluate_model(cfg, state.params, val_ds,
                                    batch_size=args.batch_size, classes=SYNTH_CLASSES)
