@@ -108,9 +108,11 @@ def main():
 
     first = last = None
     step = 0
+    snap = None  # (step, host TrainState copy) from the last healthy boundary
     t0 = time.time()
     while step < args.steps:
-        for batch in loader.epoch(step // max(len(loader), 1)):
+        epoch = step // max(len(loader), 1)
+        for batch in loader.epoch(epoch):
             batch.pop("tokens")
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = step_fn(state, jb, rng)
@@ -129,7 +131,21 @@ def main():
                 if not (last > 0.0) or nf:
                     print(f"ABORT: training diverged at step {step} "
                           f"(loss={last}, nonfinite_grads={nf})", flush=True)
+                    if snap is not None:
+                        from petr_tpu.train.forensics import save_snapshot
+
+                        path = save_snapshot(
+                            f"{args.out_dir}/forensics", snap[1], snap[0], cfg,
+                            loader_args=dict(batch_size=args.batch_size,
+                                             seed=args.seed, steps=args.steps),
+                        )
+                        print(f"forensics: last healthy state (step {snap[0]}) "
+                              f"-> {path}; replay with tools/nan_replay.py",
+                              flush=True)
                     sys.exit(2)
+                # healthy boundary: snapshot AFTER the check (host copy; the
+                # donated device buffers can't be held across steps)
+                snap = (step, jax.device_get(state))
             if args.eval_every and step % args.eval_every == 0 and step < args.steps:
                 r = evaluate_model(cfg, state.params, val_ds,
                                    batch_size=args.batch_size, classes=SYNTH_CLASSES)
