@@ -232,7 +232,14 @@ def _bwd_kernel(
         q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (Qp, bk)
     s = jnp.where(mblk[None, :] != 0, NEG, s)
-    p = jnp.exp(s - lse)  # normalized probs; 0 on masked/padded rows+cols
+    # p <= 1 by definition (softmax prob), so the exponent is clamped at 0:
+    # s here is a RECOMPUTE of the forward logits while lse was saved — on
+    # TPU, f32 dots decompose into bf16 passes, and once attention logits
+    # grow large (|s| ~ 1e4 was observed in a real PETRv2 run) the rounding
+    # gap between the two dots reaches ~1e2, overflowing exp() to inf and
+    # NaN-poisoning every gradient upstream. The clamp removes the overflow
+    # without changing true semantics (caught by NaN forensics, round 3).
+    p = jnp.exp(jnp.minimum(s - lse, 0.0))  # probs; 0 on masked/padded
     # regenerate the forward's keep mask — the hash is a pure function of
     # GLOBAL (q, k) coordinates, so any blocking reproduces identical bits
     if rate > 0.0:

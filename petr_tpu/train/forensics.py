@@ -60,25 +60,33 @@ def nonfinite_by_subtree(tree: Any) -> Dict[str, int]:
 
 
 def first_nonfinite_intermediates(model, variables, *args, **kwargs):
-    """Run ``model.apply(..., capture_intermediates=True)`` and return the
-    module paths whose outputs contain nonfinite values (in sow order)."""
-    out, mods = model.apply(
-        variables, *args, capture_intermediates=True, **kwargs
-    )
+    """Return module paths whose outputs contain nonfinite values.
+
+    The nonfinite counts are reduced ON DEVICE inside one jit (a
+    capture_intermediates tree is GBs of activations — device_get'ing it
+    over a slow link would take minutes; the counts are scalars)."""
+    import jax.numpy as jnp
+
+    def f(variables, *args):
+        _, mods = model.apply(
+            variables, *args, capture_intermediates=True, **kwargs
+        )
+
+        def count(a):
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+                return ((~jnp.isfinite(a)).sum().astype(jnp.int32),
+                        jnp.int32(a.size))
+            return (jnp.int32(0), jnp.int32(0))
+
+        return jax.tree.map(count, mods.get("intermediates", {}))
+
+    counts = jax.device_get(jax.jit(f)(variables, *args))
+    flat = jax.tree_util.tree_flatten_with_path(counts)[0]
+    # tree_map turned each module output into a (count, size) tuple, so the
+    # flat leaves come in path-sharing pairs ending [0] / [1]
     bad = []
-
-    def walk(prefix, node):
-        if isinstance(node, dict):
-            for k, v in node.items():
-                walk(prefix + (k,), v)
-        elif isinstance(node, (tuple, list)):
-            for i, v in enumerate(node):
-                walk(prefix + (str(i),), v)
-        else:
-            arr = np.asarray(jax.device_get(node))
-            n = int((~np.isfinite(arr)).sum())
-            if n:
-                bad.append(("/".join(prefix), n, arr.size))
-
-    walk((), jax.device_get(mods.get("intermediates", {})))
-    return out, bad
+    it = iter(flat)
+    for (p1, n), (_p2, size) in zip(it, it):
+        if int(n):
+            bad.append((jax.tree_util.keystr(p1), int(n), int(size)))
+    return None, bad

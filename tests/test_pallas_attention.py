@@ -207,3 +207,38 @@ def test_fully_masked_rows_zero_output_and_grads():
         g = np.asarray(g)
         assert np.isfinite(g).all(), f"d{name} not finite"
         np.testing.assert_allclose(g, 0.0, atol=1e-6, err_msg=f"d{name}")
+
+
+def test_flash_backward_survives_lse_recompute_gap():
+    """The backward RECOMPUTES the logits while lse was saved by the forward.
+    On TPU, f32 dots decompose into bf16 passes, so once attention logits
+    grow large (|s| ~ 1e4 observed in a real PETRv2 training run) the
+    rounding gap between the two dots reaches ~1e2 and exp(s - lse)
+    overflows f32 -> NaN-poisons every upstream gradient (caught by the
+    round-3 NaN forensics). Since softmax probs can never exceed 1, the
+    kernel clamps the exponent at 0; this test simulates the worst-case gap
+    by understating lse and asserts the backward stays finite."""
+    import jax.numpy as jnp
+
+    from petr_tpu.ops.pallas.cross_attention import (
+        _flash_backward_impl,
+        _flash_forward,
+    )
+
+    B, H, Q, D, L = 1, 2, 128, 32, 512
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, H, Q, D)) * 60, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, L, D)) * 60, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.float32)
+    out, lse = _flash_forward(q, k, v, None)
+    assert float(jnp.abs(q @ jnp.swapaxes(k, -1, -2)).max()) > 1e4  # regime real
+
+    do = jnp.ones_like(out)
+    delta = (do * out.astype(jnp.float32)).sum(-1)
+    mask = jnp.zeros((B, L), jnp.int32)
+    dq, dk, dv = _flash_backward_impl(
+        q, k, v, mask, do, delta, lse - 150.0, jnp.zeros((), jnp.int32),
+        block_k=512, interpret=True, dropout_rate=0.0,
+    )
+    for g in (dq, dk, dv):
+        assert bool(jnp.isfinite(g).all()), "backward overflowed on lse gap"

@@ -42,40 +42,35 @@ def ceil_to(x, m):
 # ---------------------------------------------------------------- inventory
 # (name, B, H, W, Cin, Cout, ksize, count) for V-99-eSE at 6 x 320x800.
 # count = how many times this exact conv shape runs in one forward.
-def conv_inventory():
-    inv = []
+# ANCHORS: the dominant per-stage shapes (the chained 3x3s are 60-80% of
+# each stage's flops; one concat 1x1 anchors that family). Each measured
+# shape costs ~2 relay compiles, so the full 17-shape inventory (kept in
+# comments) is opt-in via --full.
+def conv_inventory(full=False):
     B = 6
-    # stage2 @ 80x200 (1 block, conv_ch 128, out 256)
-    inv += [
-        ("s2.conv0", B, 80, 200, 128, 128, 3, 1),
-        ("s2.conv1-4", B, 80, 200, 128, 128, 3, 4),
-        ("s2.concat", B, 80, 200, 768, 256, 1, 1),
+    anchors = [
+        ("s2.convN", B, 80, 200, 128, 128, 3, 5),
+        ("s3.convN", B, 40, 100, 160, 160, 3, 12),
+        ("s4.convN", B, 20, 50, 192, 192, 3, 36),
+        ("s5.convN", B, 10, 25, 224, 224, 3, 12),
+        ("s4.b18.concat", B, 20, 50, 1728, 768, 1, 8),
+        ("s5.b12.concat", B, 10, 25, 2144, 1024, 1, 2),
     ]
-    # stage3 @ 40x100 (3 blocks, conv_ch 160, out 512)
-    inv += [
+    if not full:
+        return anchors
+    return anchors + [
+        ("s2.concat", B, 80, 200, 768, 256, 1, 1),
         ("s3.b0.conv0", B, 40, 100, 256, 160, 3, 1),
-        ("s3.convN", B, 40, 100, 160, 160, 3, 4 + 2 * 4),
         ("s3.b12.conv0", B, 40, 100, 512, 160, 3, 2),
         ("s3.b0.concat", B, 40, 100, 1056, 512, 1, 1),
         ("s3.b12.concat", B, 40, 100, 1312, 512, 1, 2),
-    ]
-    # stage4 @ 20x50 (9 blocks, conv_ch 192, out 768)
-    inv += [
         ("s4.b0.conv0", B, 20, 50, 512, 192, 3, 1),
-        ("s4.convN", B, 20, 50, 192, 192, 3, 4 + 8 * 4),
         ("s4.b18.conv0", B, 20, 50, 768, 192, 3, 8),
         ("s4.b0.concat", B, 20, 50, 1472, 768, 1, 1),
-        ("s4.b18.concat", B, 20, 50, 1728, 768, 1, 8),
-    ]
-    # stage5 @ 10x25 (3 blocks, conv_ch 224, out 1024)
-    inv += [
         ("s5.b0.conv0", B, 10, 25, 768, 224, 3, 1),
-        ("s5.convN", B, 10, 25, 224, 224, 3, 4 + 2 * 4),
         ("s5.b12.conv0", B, 10, 25, 1024, 224, 3, 2),
         ("s5.b0.concat", B, 10, 25, 1888, 1024, 1, 1),
-        ("s5.b12.concat", B, 10, 25, 2144, 1024, 1, 2),
     ]
-    return inv
 
 
 # ---------------------------------------------------------------- timing
@@ -133,48 +128,31 @@ def time_gemm(M, K, N):
     return _chain_time(_gemm_op, xs, ws)
 
 
+HBM_GBPS = 819.0  # v5e
+
+
 def main():
+    full = "--full" in sys.argv
     print(f"devices: {jax.devices()}", flush=True)
-    rows = []
-    stage_ms = {}
-    for name, B, H, W, Cin, Cout, k, count in conv_inventory():
+    for name, B, H, W, Cin, Cout, k, count in conv_inventory(full):
         M, K, N = B * H * W, k * k * Cin, Cout
         gflops = 2.0 * M * K * N / 1e9
         t_conv = time_conv(B, H, W, Cin, Cout, k)
         t_gemm = time_gemm(M, K, N)
-        eff_im2col = (M / ceil_to(M, 8)) * (K / ceil_to(K, 128)) * (N / ceil_to(N, 128))
-        eff_spatial = (
-            (M / ceil_to(M, 8))
-            * (Cin / ceil_to(Cin, 128))
-            * (N / ceil_to(N, 128))
-        )
-        row = {
-            "name": name, "M": M, "K": K, "N": N, "gflops": gflops,
-            "count": count,
-            "conv_ms": t_conv * 1e3, "gemm_ms": t_gemm * 1e3,
-            "conv_tfs": gflops / t_conv / 1e3, "gemm_tfs": gflops / t_gemm / 1e3,
-            "bound_im2col": PEAK_TFLOPS * eff_im2col,
-            "bound_spatial": PEAK_TFLOPS * eff_spatial,
-        }
-        rows.append(row)
-        st = name.split(".")[0]
-        stage_ms.setdefault(st, [0.0, 0.0, 0.0])
-        stage_ms[st][0] += t_conv * 1e3 * count
-        stage_ms[st][1] += t_gemm * 1e3 * count
-        stage_ms[st][2] += gflops * count
+        eff_pad = (M / ceil_to(M, 8)) * (K / ceil_to(K, 128)) * (N / ceil_to(N, 128))
+        # HBM roofline for the implicit GEMM: stream x once, weights once,
+        # write the output once (bf16). Early stages are BANDWIDTH-bound —
+        # their arithmetic intensity caps achievable TF/s below the MXU peak.
+        bytes_moved = 2.0 * (M * Cin + K * N + M * N)  # conv reads x, not im2col
+        bw_bound = gflops / (bytes_moved / HBM_GBPS)  # GF / (GB/(GB/s)) = TF/s
+        attainable = min(PEAK_TFLOPS * eff_pad, bw_bound)
         print(
             f"{name:14s} M={M:6d} K={K:5d} N={N:4d} {gflops:7.2f}GF x{count:2d} "
-            f"conv {t_conv*1e3:7.3f}ms ({row['conv_tfs']:6.1f} TF/s)  "
-            f"gemm {t_gemm*1e3:7.3f}ms ({row['gemm_tfs']:6.1f} TF/s)  "
-            f"bound im2col {row['bound_im2col']:5.1f} / spatial {row['bound_spatial']:5.1f}",
-            flush=True,
-        )
-
-    print("\n== per-stage totals (sum of per-shape micro times x count) ==")
-    for st, (cms, gms, gf) in sorted(stage_ms.items()):
-        print(
-            f"{st}: conv {cms:7.2f} ms ({gf/cms:6.1f} TF/s)   "
-            f"gemm-equivalent {gms:7.2f} ms ({gf/gms:6.1f} TF/s)   {gf:7.1f} GF",
+            f"conv {t_conv*1e3:7.3f}ms ({gflops/t_conv/1e3:6.1f} TF/s)  "
+            f"gemm {t_gemm*1e3:7.3f}ms ({gflops/t_gemm/1e3:6.1f} TF/s)  "
+            f"pad-bound {PEAK_TFLOPS*eff_pad:5.1f}  bw-bound {bw_bound:6.1f}  "
+            f"attainable {attainable:6.1f}  conv/attainable "
+            f"{gflops/t_conv/1e3/attainable:4.2f}",
             flush=True,
         )
 
