@@ -173,7 +173,6 @@ def make_train_step(cfg: ExperimentConfig, axis_name: Optional[str] = None):
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             total = jax.lax.pmean(total, axis_name)
-        new_state = state.apply_gradients(grads)
         # divergence diagnostics (cheap reductions; note the losses are
         # nan_to_num'd for reference parity, so a blown-up run shows
         # loss=0.0 — grad_norm/nonfinite make the cause visible)
@@ -181,9 +180,23 @@ def make_train_step(cfg: ExperimentConfig, axis_name: Optional[str] = None):
         nonfinite = sum(
             jnp.sum(~jnp.isfinite(g)) for g in jax.tree.leaves(grads)
         )
+        # Overflow-step rejection (reference parity: mmcv Fp16OptimizerHook
+        # skips the update when gradients contain inf/NaN — `has_overflow`
+        # -> no optimizer step — which is how the fp16 recipe survives
+        # transient spikes). Without this, ONE poisoned backward pass
+        # (e.g. an activation-magnitude transient) NaNs the parameters
+        # forever. The step counter still advances (mmcv iteration count
+        # does too).
+        ok = nonfinite == 0
+        candidate = state.apply_gradients(grads)
+        new_state = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old),
+            candidate.replace(step=state.step), state,
+        ).replace(step=state.step + 1)
         metrics = {"loss": total, **losses,
                    "grad_norm": gnorm,
-                   "grad_nonfinite": nonfinite.astype(jnp.int32)}
+                   "grad_nonfinite": nonfinite.astype(jnp.int32),
+                   "skipped": (~ok).astype(jnp.int32)}
         return new_state, metrics
 
     return train_step

@@ -289,3 +289,38 @@ def test_bn_affine_freezing_labels():
 
     assert not get_config("petr_r50_p4_1408x512").model.backbone.train_bn_affine
     assert get_config("petr_vov_p4_800x320").model.backbone.train_bn_affine
+
+
+def test_nonfinite_gradients_skip_the_update():
+    """mmcv Fp16OptimizerHook parity: a step whose gradients contain
+    inf/NaN must leave params and optimizer state untouched (step still
+    advances) instead of NaN-poisoning the parameters forever."""
+    import dataclasses
+
+    import __graft_entry__ as ge
+    from petr_tpu.configs import get_config
+    from petr_tpu.train import create_train_state, make_train_step
+
+    cfg = get_config("tiny_debug")
+    H, W = cfg.data.image_size
+    batch = ge._batch(1, 6, H, W, cfg.data.max_gt)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), 10, batch)
+    step_fn = jax.jit(make_train_step(cfg))
+    rng = jax.random.PRNGKey(1)
+
+    bad = dict(batch)
+    bad["images"] = jnp.asarray(batch["images"]).at[0, 0, 0, 0, 0].set(jnp.nan)
+    new_state, m = step_fn(state, bad, rng)
+    assert int(m["skipped"]) == 1 and int(m["grad_nonfinite"]) > 0
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(new_state.step) == int(state.step) + 1
+
+    ok_state, m2 = step_fn(state, batch, rng)
+    assert int(m2["skipped"]) == 0
+    # a clean step DOES change params
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(ok_state.params))
+    )
+    assert changed

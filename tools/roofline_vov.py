@@ -134,17 +134,29 @@ HBM_GBPS = 819.0  # v5e
 def main():
     full = "--full" in sys.argv
     print(f"devices: {jax.devices()}", flush=True)
+
+    # Practical-MXU calibration: the achievable ceiling on THIS chip/runtime
+    # for large, perfectly-shaped bf16 GEMMs. MFU quoted against the paper
+    # peak (197) hides how much of the gap is the runtime's, not the model's.
+    for M, K, N in ((4096, 4096, 4096), (8192, 2048, 2048)):
+        g = 2.0 * M * K * N / 1e9
+        t = time_gemm(M, K, N)
+        print(f"calib {M}x{K}x{N}: {t*1e3:7.3f}ms  {g/t/1e3:6.1f} TF/s "
+              f"({100*g/t/1e3/PEAK_TFLOPS:4.1f}% of paper peak)", flush=True)
+
     for name, B, H, W, Cin, Cout, k, count in conv_inventory(full):
         M, K, N = B * H * W, k * k * Cin, Cout
         gflops = 2.0 * M * K * N / 1e9
         t_conv = time_conv(B, H, W, Cin, Cout, k)
         t_gemm = time_gemm(M, K, N)
         eff_pad = (M / ceil_to(M, 8)) * (K / ceil_to(K, 128)) * (N / ceil_to(N, 128))
-        # HBM roofline for the implicit GEMM: stream x once, weights once,
-        # write the output once (bf16). Early stages are BANDWIDTH-bound —
-        # their arithmetic intensity caps achievable TF/s below the MXU peak.
-        bytes_moved = 2.0 * (M * Cin + K * N + M * N)  # conv reads x, not im2col
-        bw_bound = gflops / (bytes_moved / HBM_GBPS)  # GF / (GB/(GB/s)) = TF/s
+        # HBM roofline: a conv streams x once (M*Cin, NOT the 9x im2col
+        # expansion), weights once, writes the output once (bf16). NB the
+        # same-shape pure GEMM reads a MATERIALIZED (M, K) operand — 9x the
+        # bytes for 3x3 — so its own bw-bound is much lower; that is why
+        # XLA conv can legitimately beat the "equivalent" GEMM.
+        bytes_moved = 2.0 * (M * Cin + K * N + M * N)
+        bw_bound = gflops / (bytes_moved / (HBM_GBPS * 1e9)) / 1e3  # TF/s
         attainable = min(PEAK_TFLOPS * eff_pad, bw_bound)
         print(
             f"{name:14s} M={M:6d} K={K:5d} N={N:4d} {gflops:7.2f}GF x{count:2d} "

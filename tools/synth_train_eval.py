@@ -108,6 +108,8 @@ def main():
 
     first = last = None
     step = 0
+    skips = 0
+    skips_dev = jnp.zeros((), jnp.int32)
     snap = None  # (step, host TrainState copy) from the last healthy boundary
     t0 = time.time()
     while step < args.steps:
@@ -117,7 +119,11 @@ def main():
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = step_fn(state, jb, rng)
             step += 1
+            # lazy device-side accumulation — a host read here would sync
+            # every step (28 ms RTT on the relay)
+            skips_dev = skips_dev + metrics.get("skipped", 0)
             if step % 100 == 0 or step == 1:
+                skips = int(skips_dev)
                 last = float(metrics["loss"])
                 if first is None:
                     first = last
@@ -125,12 +131,16 @@ def main():
                 nf = int(metrics.get("grad_nonfinite", 0))
                 print(f"step {step:5d}  loss {last:.4f}  gnorm {gn:9.2f}  "
                       f"({step / max(time.time() - t0, 1e-9):.2f} it/s)"
-                      + (f"  NONFINITE_GRADS={nf}" if nf else ""), flush=True)
-                # a blown-up run shows loss==0.0 forever (losses are
-                # nan_to_num'd, reference parity) — stop burning chip time
-                if not (last > 0.0) or nf:
+                      + (f"  NONFINITE->SKIPPED (total {skips})" if nf else ""),
+                      flush=True)
+                # nonfinite steps are now SKIPPED (mmcv fp16-hook parity), so
+                # a spike is survivable; abort only when params are already
+                # dead (loss==0 forever — losses are nan_to_num'd) or the
+                # run is skipping so often it cannot be learning
+                if not (last > 0.0) or skips > 20 + step // 10:
                     print(f"ABORT: training diverged at step {step} "
-                          f"(loss={last}, nonfinite_grads={nf})", flush=True)
+                          f"(loss={last}, nonfinite_grads={nf}, skips={skips})",
+                          flush=True)
                     if snap is not None:
                         from petr_tpu.train.forensics import save_snapshot
 
