@@ -233,22 +233,35 @@ class PETRHead(nn.Module):
             return cls_b, reg_b
 
         if self.shared_branches:
-            shared = make_branches("")
-
-        cls_list, reg_list = [], []
-        for lvl in range(self.num_layers):
-            cls_b, reg_b = shared if self.shared_branches else make_branches(f"_{lvl}")
-            cls_out = cls_b(outs_dec[lvl])
-            reg_out = reg_b(outs_dec[lvl]).astype(jnp.float32)
+            # ONE application over the stacked (L, B, Q, C) outputs: Dense/LN
+            # broadcast over leading axes, so this is a single GEMM of L*B*Q
+            # rows instead of L sequential launch-bound chains of tiny
+            # matmuls — identical math and identical param tree (the module
+            # is the same shared instance the loop applied L times).
+            cls_b, reg_b = make_branches("")
+            all_cls = cls_b(outs_dec).astype(jnp.float32)
+            reg_out = reg_b(outs_dec).astype(jnp.float32)
             # centers: offset + inverse_sigmoid(ref), then sigmoid (cx,cy @0:2, cz @4)
-            xy = jax.nn.sigmoid(reg_out[..., 0:2] + ref[None, :, 0:2])
-            z = jax.nn.sigmoid(reg_out[..., 4:5] + ref[None, :, 2:3])
-            reg_out = jnp.concatenate([xy, reg_out[..., 2:4], z, reg_out[..., 5:]], axis=-1)
-            cls_list.append(cls_out.astype(jnp.float32))
-            reg_list.append(reg_out)
-
-        all_cls = jnp.stack(cls_list)  # (L, B, Q, num_classes)
-        all_reg = jnp.stack(reg_list)  # (L, B, Q, code_size)
+            xy = jax.nn.sigmoid(reg_out[..., 0:2] + ref[None, None, :, 0:2])
+            z = jax.nn.sigmoid(reg_out[..., 4:5] + ref[None, None, :, 2:3])
+            all_reg = jnp.concatenate(
+                [xy, reg_out[..., 2:4], z, reg_out[..., 5:]], axis=-1
+            )  # (L, B, Q, code_size)
+        else:
+            cls_list, reg_list = [], []
+            for lvl in range(self.num_layers):
+                cls_b, reg_b = make_branches(f"_{lvl}")
+                cls_out = cls_b(outs_dec[lvl])
+                reg_out = reg_b(outs_dec[lvl]).astype(jnp.float32)
+                xy = jax.nn.sigmoid(reg_out[..., 0:2] + ref[None, :, 0:2])
+                z = jax.nn.sigmoid(reg_out[..., 4:5] + ref[None, :, 2:3])
+                reg_out = jnp.concatenate(
+                    [xy, reg_out[..., 2:4], z, reg_out[..., 5:]], axis=-1
+                )
+                cls_list.append(cls_out.astype(jnp.float32))
+                reg_list.append(reg_out)
+            all_cls = jnp.stack(cls_list)  # (L, B, Q, num_classes)
+            all_reg = jnp.stack(reg_list)  # (L, B, Q, code_size)
 
         # de-normalize centers into metric pc_range
         pc = jnp.asarray(self.pc_range, jnp.float32)
