@@ -249,20 +249,32 @@ class DepthrHead(nn.Module):
             )
 
         if self.shared_branches:
-            shared = make_branches("")
-        cls_list, reg_list = [], []
-        for lvl in range(self.num_layers):
-            cls_b, reg_b = shared if self.shared_branches else make_branches(f"_{lvl}")
-            cls_out = cls_b(outs_dec[lvl])
-            reg_out = reg_b(outs_dec[lvl]).astype(jnp.float32)
-            xy = jax.nn.sigmoid(reg_out[..., 0:2] + ref[None, :, 0:2])
-            z = jax.nn.sigmoid(reg_out[..., 4:5] + ref[None, :, 2:3])
-            reg_out = jnp.concatenate([xy, reg_out[..., 2:4], z, reg_out[..., 5:]], axis=-1)
-            cls_list.append(cls_out.astype(jnp.float32))
-            reg_list.append(reg_out)
-
-        all_cls = jnp.stack(cls_list)
-        all_reg = jnp.stack(reg_list)
+            # one application over the stacked (L, B, Q, C) layer axis —
+            # a single GEMM instead of L launch-bound chains (identical
+            # math/params; see petr_head.py)
+            cls_b, reg_b = make_branches("")
+            all_cls = cls_b(outs_dec).astype(jnp.float32)
+            reg_out = reg_b(outs_dec).astype(jnp.float32)
+            xy = jax.nn.sigmoid(reg_out[..., 0:2] + ref[None, None, :, 0:2])
+            z = jax.nn.sigmoid(reg_out[..., 4:5] + ref[None, None, :, 2:3])
+            all_reg = jnp.concatenate(
+                [xy, reg_out[..., 2:4], z, reg_out[..., 5:]], axis=-1
+            )
+        else:
+            cls_list, reg_list = [], []
+            for lvl in range(self.num_layers):
+                cls_b, reg_b = make_branches(f"_{lvl}")
+                cls_out = cls_b(outs_dec[lvl])
+                reg_out = reg_b(outs_dec[lvl]).astype(jnp.float32)
+                xy = jax.nn.sigmoid(reg_out[..., 0:2] + ref[None, :, 0:2])
+                z = jax.nn.sigmoid(reg_out[..., 4:5] + ref[None, :, 2:3])
+                reg_out = jnp.concatenate(
+                    [xy, reg_out[..., 2:4], z, reg_out[..., 5:]], axis=-1
+                )
+                cls_list.append(cls_out.astype(jnp.float32))
+                reg_list.append(reg_out)
+            all_cls = jnp.stack(cls_list)
+            all_reg = jnp.stack(reg_list)
         pc = jnp.asarray(self.pc_range, jnp.float32)
         cx = all_reg[..., 0:1] * (pc[3] - pc[0]) + pc[0]
         cy = all_reg[..., 1:2] * (pc[4] - pc[1]) + pc[1]
