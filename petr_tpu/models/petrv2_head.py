@@ -45,14 +45,17 @@ class RegLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        # torch nn.Linear default init throughout (reference RegLayer uses
+        # bare `Linear`, `petrv2_head.py:63-95`); nn.Dense's lecun_normal +
+        # zero bias was an init-parity gap
         for i in range(self.num_fcs):
-            x = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"fc{i}")(x)
+            x = TorchLinear(self.embed_dim, dtype=self.dtype, name=f"fc{i}")(x)
             x = nn.relu(x)
         outs = []
         for g, dim in enumerate(self.group_dims):
-            y = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"task{g}_fc")(x)
+            y = TorchLinear(self.embed_dim, dtype=self.dtype, name=f"task{g}_fc")(x)
             y = nn.relu(y)
-            outs.append(nn.Dense(dim, dtype=self.dtype, name=f"task{g}_out")(y))
+            outs.append(TorchLinear(dim, dtype=self.dtype, name=f"task{g}_out")(y))
         return jnp.concatenate(outs, axis=-1)
 
 

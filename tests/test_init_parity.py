@@ -135,3 +135,25 @@ def test_cls_branch_focal_prior_and_detr3d_zero_weights():
     )["params"]
     assert np.all(np.asarray(p["attention_weights"]["kernel"]) == 0)
     assert np.all(np.asarray(p["attention_weights"]["bias"]) == 0)
+
+
+def test_petrv2_reglayer_init_is_torch_default():
+    """Reference RegLayer (`petrv2_head.py:63-95`) builds bare `Linear`
+    layers -> torch default init. Pins the round-3 fix (was nn.Dense
+    lecun_normal + zero bias)."""
+    import jax
+
+    from petr_tpu.models.petrv2_head import RegLayer
+
+    m = RegLayer(embed_dim=256, num_fcs=2)
+    params = m.init(jax.random.PRNGKey(0), np.zeros((2, 4, 256), np.float32))[
+        "params"
+    ]
+    for name in ("fc0", "fc1", "task0_fc", "task0_out"):
+        k = np.asarray(params[name]["kernel"])
+        b = np.asarray(params[name]["bias"])
+        fan_in = k.shape[0]
+        bound = 1.0 / np.sqrt(fan_in)
+        assert np.abs(k).max() <= bound + 1e-7, name
+        np.testing.assert_allclose(k.std(), bound / np.sqrt(3), rtol=0.1)
+        assert np.abs(b).max() > 0.0, f"{name} bias must be uniform, not zeros"
