@@ -156,12 +156,27 @@ def main():
                 # healthy boundary: snapshot AFTER the check (host copy; the
                 # donated device buffers can't be held across steps)
                 snap = (step, jax.device_get(state))
+            if step % 100 == 0:
+                # the remote-relay client's host-side buffers grow with
+                # enqueued batch bytes (a 12-view batch-4 run was OOM-killed
+                # at ~150 GB enqueued, round 3); collect aggressively
+                import gc
+
+                gc.collect()
             if args.eval_every and step % args.eval_every == 0 and step < args.steps:
                 r = evaluate_model(cfg, state.params, val_ds,
                                    batch_size=args.batch_size, classes=SYNTH_CLASSES)
                 print(json.dumps({"step": step, "val/mAP": round(r["mAP"], 4),
                                   "val/NDS": round(r["NDS"], 4),
+                                  "val/mAVE": round(r.get("mAVE", float("nan")), 4),
                                   "val/mATE": round(r["mATE"], 4)}), flush=True)
+                if args.save_ckpt:
+                    # periodic save so an OOM-killed run keeps its progress
+                    from petr_tpu.train.checkpoint import save_checkpoint
+
+                    save_checkpoint(args.save_ckpt, step, state,
+                                    meta={"config": args.config})
+                    print(f"checkpointed at step {step}", flush=True)
             if step >= args.steps:
                 break
     last = float(metrics["loss"])
