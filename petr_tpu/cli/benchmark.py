@@ -117,7 +117,10 @@ def main():
     if args.train and flops and cfg.train.grad_accum > 1:
         # XLA's cost analysis counts the grad-accum lax.scan BODY once;
         # scale to the true per-step work or MFU is understated by the
-        # accumulation factor.
+        # accumulation factor. Approximation: this also multiplies the
+        # non-scanned tail (optimizer update, grad averaging, where-select),
+        # slightly overcounting for accum > 1 — negligible next to the
+        # fwd+bwd FLOPs the scan body holds.
         flops *= cfg.train.grad_accum
     fps = args.iters * B / dt
     print(

@@ -331,6 +331,9 @@ _register(ExperimentConfig(
 # signal, so beating the single-frame model's held-out mAVE proves the
 # with_time normalization + sweep loader actually TRAIN, reference
 # `petrv2_head.py:499-521`). Sizes match synth_small for a fair comparison.
+# bf16 compute (the production dtype) so the temporal validation exercises
+# the same numerics path — incl. the clamped flash backward — as the full
+# petrv2 recipes (round-3 advice: don't validate an f32-only variant).
 _register(ExperimentConfig(
     name="synth_small_v2",
     model=ModelConfig(
@@ -340,7 +343,6 @@ _register(ExperimentConfig(
                         with_fpe=True, with_time=True, with_multi_reg=True,
                         shared_branches=False),
         use_grid_mask=False,
-        compute_dtype="float32",
     ),
     data=DataConfig(image_size=(128, 320), final_dim=(128, 320),
                     resize_lim=(1.0, 1.0), src_hw=(128, 320), max_gt=32,

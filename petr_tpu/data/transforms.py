@@ -243,6 +243,8 @@ def albu_native(transforms: Sequence[dict], max_value: float = 255.0):
             raise ValueError(f"albu_native: unsupported transform {kind!r} "
                              "(use albu_multiview with the albumentations "
                              "package, or any per-view callable)")
+        if kind == "Blur" and int(t.get("blur_limit", 7)) < 3:
+            raise ValueError("albu_native: Blur blur_limit must be >= 3")
         specs.append((kind, t))
 
     def apply(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
@@ -251,8 +253,10 @@ def albu_native(transforms: Sequence[dict], max_value: float = 255.0):
             if rng.random() >= t.get("p", 0.5):
                 continue
             if kind == "Blur":
+                # odd kernel in [3, blur_limit] inclusive (albumentations
+                # semantics: an even limit must not be exceeded)
                 lim = int(t.get("blur_limit", 7))
-                k = int(rng.integers(1, max(lim // 2, 1) + 1)) * 2 + 1
+                k = int(rng.integers(1, (lim - 1) // 2 + 1)) * 2 + 1
                 img = _box_blur(img, k)
             elif kind == "RandomBrightnessContrast":
                 alpha = 1.0 + rng.uniform(-1, 1) * t.get("contrast_limit", 0.2)

@@ -156,6 +156,31 @@ def accumulate_grads(grad_fn, params, batch: Dict[str, jax.Array], rng: jax.Arra
     return jnp.mean(totals), jax.tree.map(lambda x: jnp.mean(x, axis=0), losses_stacked), grads
 
 
+def _advance_schedule_counts(new_opt: Any, old_opt: Any) -> Any:
+    """Rebuild ``old_opt`` with LR-schedule counts taken from ``new_opt``.
+
+    A schedule state (optax ScaleByScheduleState and equivalents) is a
+    namedtuple whose ONLY field is ``count`` — that count must follow the
+    iteration number even across overflow-skipped steps (mmcv LR hooks tick
+    every iteration). Adam's ScaleByAdamState also carries a ``count`` (bias
+    correction), but alongside mu/nu — torch's Adam step counter does NOT
+    advance on skipped steps, so multi-field states are kept from old_opt.
+    """
+    if hasattr(old_opt, "_fields"):
+        if old_opt._fields == ("count",):
+            return new_opt
+        return type(old_opt)(*(
+            _advance_schedule_counts(n, o) for n, o in zip(new_opt, old_opt)
+        ))
+    if isinstance(old_opt, (list, tuple)):
+        return type(old_opt)(
+            _advance_schedule_counts(n, o) for n, o in zip(new_opt, old_opt)
+        )
+    if isinstance(old_opt, dict):
+        return {k: _advance_schedule_counts(new_opt[k], old_opt[k]) for k in old_opt}
+    return old_opt
+
+
 def make_train_step(cfg: ExperimentConfig, axis_name: Optional[str] = None):
     grad_fn = make_grad_fn(cfg, axis_name)
     accum = cfg.train.grad_accum
@@ -189,9 +214,18 @@ def make_train_step(cfg: ExperimentConfig, axis_name: Optional[str] = None):
         # does too).
         ok = nonfinite == 0
         candidate = state.apply_gradients(grads)
+        # On a skipped step, revert params and Adam moments/bias-correction
+        # counts, but ADVANCE the LR-schedule counts: mmcv's iteration-based
+        # LR hooks still tick on overflow-skipped iterations (the hook runs
+        # per iteration, Fp16OptimizerHook only skips optimizer.step()), so
+        # the schedule must track state.step, not the number of applied
+        # updates.
+        fallback = state.replace(
+            opt_state=_advance_schedule_counts(candidate.opt_state, state.opt_state)
+        )
         new_state = jax.tree.map(
             lambda new, old: jnp.where(ok, new, old),
-            candidate.replace(step=state.step), state,
+            candidate.replace(step=state.step), fallback,
         ).replace(step=state.step + 1)
         metrics = {"loss": total, **losses,
                    "grad_norm": gnorm,

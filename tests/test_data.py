@@ -320,6 +320,26 @@ def test_albu_native_ops_and_pipeline():
         albu_native([{"type": "ElasticTransform"}])
 
 
+def test_albu_native_blur_kernel_within_limit(monkeypatch):
+    """Sampled kernels stay odd and within [3, blur_limit] even for an EVEN
+    limit (albumentations semantics; an even limit of 8 must never yield 9)."""
+    import petr_tpu.data.transforms as T
+
+    seen = []
+    monkeypatch.setattr(
+        T, "_box_blur", lambda img, k: (seen.append(k), img)[1]
+    )
+    fn = T.albu_native([{"type": "Blur", "blur_limit": 8, "p": 1.0}])
+    img = np.zeros((8, 8, 3), np.float32)
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        fn(img, rng)
+    assert set(seen) == {3, 5, 7}
+
+    with pytest.raises(ValueError, match="blur_limit"):
+        T.albu_native([{"type": "Blur", "blur_limit": 2}])
+
+
 def test_albu_native_through_dataset_view_transform(tmp_path):
     """albu_native plugs into the Dataset's view_transform extension point
     (the reference wires AlbuMultiview3D into the pipeline the same way)."""

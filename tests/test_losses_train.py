@@ -324,3 +324,57 @@ def test_nonfinite_gradients_skip_the_update():
         for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(ok_state.params))
     )
     assert changed
+
+
+def test_skipped_step_advances_lr_schedule_only():
+    """mmcv LR hooks tick every iteration, even overflow-skipped ones, while
+    torch Adam's per-param step count only advances on applied updates. The
+    skip path must therefore advance ScaleByScheduleState counts but keep
+    Adam moments/counts (and params) untouched."""
+    import __graft_entry__ as ge
+    from petr_tpu.configs import get_config
+    from petr_tpu.train import create_train_state, make_train_step
+
+    cfg = get_config("tiny_debug")
+    H, W = cfg.data.image_size
+    batch = ge._batch(1, 6, H, W, cfg.data.max_gt)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), 10, batch)
+    step_fn = jax.jit(make_train_step(cfg))
+
+    bad = dict(batch)
+    bad["images"] = jnp.asarray(batch["images"]).at[0, 0, 0, 0, 0].set(jnp.nan)
+    new_state, m = step_fn(state, bad, jax.random.PRNGKey(1))
+    assert int(m["skipped"]) == 1
+
+    def counts(opt_state, sched_only):
+        out = []
+
+        def walk(node):
+            if hasattr(node, "_fields"):
+                if node._fields == ("count",):
+                    out.append(int(node.count))
+                    return
+                if not sched_only and "count" in node._fields:
+                    out.append(int(node.count))
+                for f in node._fields:
+                    if f != "count":
+                        walk(getattr(node, f))
+            elif isinstance(node, (list, tuple)):
+                for c in node:
+                    walk(c)
+            elif isinstance(node, dict):
+                for c in node.values():
+                    walk(c)
+
+        walk(opt_state)
+        return out
+
+    sched_before = counts(jax.device_get(state.opt_state), sched_only=True)
+    sched_after = counts(jax.device_get(new_state.opt_state), sched_only=True)
+    assert sched_before and all(c == 0 for c in sched_before)
+    # LR-schedule counts advanced across the skip (LR keeps annealing)
+    assert all(c == 1 for c in sched_after)
+    # Adam bias-correction counts did NOT advance
+    adam_after = counts(jax.device_get(new_state.opt_state), sched_only=False)
+    n_sched = len(sched_after)
+    assert sum(adam_after) == n_sched  # only the schedule counts are nonzero

@@ -40,6 +40,9 @@ def main():
         batch_sizes = tuple(
             int(b) for b in sys.argv[sys.argv.index("--batches") + 1].split(",")
         )
+    json_path = None  # driver-visible artifact: one line for the LAST batch
+    if "--json" in sys.argv:
+        json_path = sys.argv[sys.argv.index("--json") + 1]
     for B in batch_sizes:
         try:
             batches = [
@@ -86,6 +89,20 @@ def main():
                 f"batch {B}: {dt*1e3:7.1f} ms/step  {B/dt:6.2f} samples/s/chip{mfu}",
                 flush=True,
             )
+            if json_path:
+                import json
+
+                f = mfu_fields(flops * cfg.train.grad_accum / B, B / dt) if flops else {}
+                with open(json_path, "w") as fh:
+                    fh.write(json.dumps({
+                        "metric": f"{name}_train_step", "value": round(B / dt, 3),
+                        "unit": "samples/s/chip", "batch": B,
+                        "ms_per_step": round(dt * 1e3, 2),
+                        "remat": cfg.model.remat,
+                        "remat_scope": cfg.model.remat_scope,
+                        **{k: f[k] for k in ("model_gflops", "achieved_tflops",
+                                             "mfu_pct") if k in f},
+                    }) + "\n")
             del state, batches
         except Exception as e:  # OOM at large batch
             print(f"batch {B}: failed ({type(e).__name__}: {str(e)[:120]})", flush=True)

@@ -8,7 +8,8 @@ driver, rebuilds the deterministic loader position, and re-runs steps one
 at a time watching ``grad_nonfinite``. At the first bad step it reports:
 per-subtree gradient nonfinite counts, whether the FORWARD of that batch is
 already nonfinite (capture_intermediates module map), and saves the batch
-+ rng to <snapshot_dir>/bad_step.npz for targeted dissection.
++ rng to <snapshot_dir>/bad_step.pkl for targeted dissection
+(tools/flash_kernel_dissect.py consumes it).
 """
 
 from __future__ import annotations
@@ -83,7 +84,6 @@ def main():
             e += 1
             skip = -1
 
-    prev_state = state
     for jb in batches():
         new_state, metrics = step_fn(state, jb, rng)
         nf = int(metrics["grad_nonfinite"])
@@ -127,7 +127,7 @@ def main():
                              "params": jax.device_get(state.params)}, f)
             print(f"saved bad batch + pre-step params -> {out}", flush=True)
             return
-        prev_state, state = state, new_state
+        state = new_state
         if step % 20 == 0:
             print(f"  step {step}: loss {float(metrics['loss']):.4f} "
                   f"gnorm {float(metrics['grad_norm']):.2f}", flush=True)

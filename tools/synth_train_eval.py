@@ -54,6 +54,10 @@ def main():
     p.add_argument("--save-ckpt", default=None, metavar="DIR",
                    help="save final params as an orbax checkpoint under DIR "
                    "(for cli.test --streaming on the learned weights)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint under --save-ckpt "
+                   "(full state: params + opt_state + step), so an OOM-killed "
+                   "run continues instead of restarting")
     p.add_argument("--set", nargs="*", default=[], dest="overrides",
                    metavar="KEY=VAL", help="dotted config overrides")
     args = p.parse_args()
@@ -108,6 +112,14 @@ def main():
 
     first = last = None
     step = 0
+    if args.resume and args.save_ckpt:
+        from petr_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint
+
+        ck = latest_checkpoint(args.save_ckpt)
+        if ck is not None:
+            state = restore_checkpoint(ck, state)
+            step = int(state.step)
+            print(f"resumed from {ck} at step {step}", flush=True)
     skips = 0
     skips_dev = jnp.zeros((), jnp.int32)
     snap = None  # (step, host TrainState copy) from the last healthy boundary
