@@ -201,8 +201,17 @@ def _bwd(stride, dilation, strategy, res, g):
     from petr_tpu.ops.dcn import modulated_deform_conv as xla_dcn
 
     x, off_mask, weight = res
+    # impl MUST be pinned to "xla" here: "auto" resolves back to the Pallas
+    # kernel on TPU, so the inner vjp would re-enter THIS custom-vjp _bwd and
+    # recurse without a base case — an unbounded re-trace that ate ~130 GB of
+    # host RSS before dying (round 3's "r50dcn train-compile OOM"; the
+    # workaround flags never mattered, and CPU tests resolved auto->xla,
+    # which is why unit gradient parity passed while every on-chip train
+    # attempt died at startup). Pinned by
+    # tests/test_pallas_dcn.py::test_pallas_backward_does_not_recurse.
     _, vjp = jax.vjp(
-        lambda x, o, w: xla_dcn(x, o, w, stride=stride, dilation=dilation),
+        lambda x, o, w: xla_dcn(x, o, w, stride=stride, dilation=dilation,
+                                impl="xla"),
         x, off_mask, weight,
     )
     return vjp(g)

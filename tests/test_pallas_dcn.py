@@ -43,3 +43,31 @@ def test_pallas_dcn_grad_matches_xla():
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, off_mask, w)
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4)
+
+
+def test_pallas_backward_does_not_recurse(monkeypatch):
+    """Round-4 regression: the custom-VJP backward must pin impl="xla" for
+    its inner vjp. With impl left at "auto" the env/backend can resolve it
+    back to the Pallas kernel, re-entering _bwd without a base case — an
+    unbounded re-trace that presented as the round-3 "r50dcn train-compile
+    host-OOM" (~130 GB RSS) on the chip. Forcing the env to "pallas" here
+    reproduces exactly the on-TPU resolution; make_jaxpr stays at the trace
+    level, so this runs on CPU."""
+    import sys
+
+    monkeypatch.setenv("PETR_TPU_DCN_IMPL", "pallas")
+    x, off_mask, w = _case(B=1, H=4, W=4, Cin=8, Cout=8)
+
+    def loss(x, o, w):
+        return jnp.sum(modulated_deform_conv_pallas(x, o, w, 1, 1, "onehot"))
+
+    limit = sys.getrecursionlimit()
+    try:
+        # with the bug this blows the recursion limit (or runs unboundedly);
+        # with the fix it traces in well under the limit
+        sys.setrecursionlimit(400)
+        jaxpr = jax.make_jaxpr(jax.grad(loss, argnums=(0, 1, 2)))(x, off_mask, w)
+    finally:
+        sys.setrecursionlimit(limit)
+    # exactly ONE pallas_call (the forward); the backward is pure XLA
+    assert str(jaxpr).count("pallas_call") == 1

@@ -67,7 +67,17 @@ def main():
           flush=True)
 
     t0 = time.time()
-    state = create_train_state(cfg, jax.random.PRNGKey(0), 100, batch)
+    if args.export_tpu and args.dcn == "pallas":
+        # init EXECUTES the forward on the host backend, where the Pallas
+        # kernel can't run — init under the XLA impl (same param tree),
+        # then restore the requested impl for the export trace.
+        import os
+
+        os.environ["PETR_TPU_DCN_IMPL"] = "xla"
+        state = create_train_state(cfg, jax.random.PRNGKey(0), 100, batch)
+        os.environ["PETR_TPU_DCN_IMPL"] = args.dcn
+    else:
+        state = create_train_state(cfg, jax.random.PRNGKey(0), 100, batch)
     print(f"[{rss_gb():.1f} GB] init params ({time.time()-t0:.0f}s)", flush=True)
 
     step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
