@@ -160,7 +160,36 @@ def generate_synthetic_scenes(
         split = "val" if s < val_scenes else "train"
         names, boxes, vels = _scene_objects(rng, n_objects)
         bg = rng.uniform(90, 130)
-        prev_cam_rec = None
+        # Warmup frame (fidx = -1): real nuScenes keyframes ALWAYS carry
+        # prior sweeps, so the reference's pad_empty_sweeps
+        # (`loading.py:69-78`) is an exception path — without this frame the
+        # scene's first keyframe would systematically hit it, teaching a
+        # temporal model "two identical images -> nonzero velocity" on 1/4
+        # of samples and capping held-out mAVE. Rendered from a SEPARATE rng
+        # stream so every fidx >= 0 image is bit-identical to datasets
+        # generated before this change (single-frame baselines stay exactly
+        # comparable); used only as the first keyframe's sweep record.
+        wrng = np.random.default_rng([seed, s, 991])
+        pos_m1 = boxes.copy()
+        pos_m1[:, :2] -= vels * dt
+        warmup_cams = {}
+        for cname, cam in rig.items():
+            img = np.full((H, W, 3), bg, np.float32)
+            img += wrng.normal(0, 6.0, img.shape)
+            img += np.linspace(18, -18, H)[:, None, None]
+            img = _render_view(img, cam, pos_m1, names, vels, velocity_hue)
+            path = os.path.join(out_dir, f"s{s}_fm1_{cname}.jpg")
+            Image.fromarray(
+                np.clip(img, 0, 255).astype(np.uint8)[..., ::-1]
+            ).save(path, quality=92)
+            warmup_cams[cname] = {
+                "data_path": path,
+                "timestamp": 1000.0 + s * 100.0 - dt,
+                "cam_intrinsic": cam["K"].copy(),
+                "sensor2lidar_rotation": cam["R"].copy(),
+                "sensor2lidar_translation": cam["t"].copy(),
+            }
+        prev_cam_rec = warmup_cams
         for fidx in range(frames_per_scene):
             ts = 1000.0 + s * 100.0 + fidx * dt
             pos = boxes.copy()

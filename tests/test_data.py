@@ -363,3 +363,36 @@ def test_albu_native_through_dataset_view_transform(tmp_path):
     a, b = ds.get(0, seed=5), base.get(0, seed=5)
     assert a["images"].shape == b["images"].shape
     assert not np.allclose(a["images"], b["images"])
+
+
+def test_synthetic_every_frame_has_a_real_sweep(tmp_path):
+    """Every synthetic keyframe — including each scene's FIRST — carries a
+    real previous-frame sweep (warmup frame at t0 - dt), so temporal (v2)
+    runs never hit the pad_empty_sweeps exception path (reference
+    `loading.py:69-78`), which would teach "identical images -> nonzero
+    velocity" on 1/4 of samples. The warmup uses a separate rng stream so
+    fidx >= 0 images are unchanged by its existence."""
+    import os
+
+    from PIL import Image
+
+    from petr_tpu.data.synthetic import generate_synthetic_scenes
+
+    dt = 0.5
+    splits = generate_synthetic_scenes(
+        str(tmp_path), n_scenes=2, frames_per_scene=3, image_hw=(32, 80),
+        n_objects=3, val_scenes=1, dt=dt,
+    )
+    for split, infos in splits.items():
+        for info in infos:
+            sweeps = info["sweeps_cams"]
+            assert len(sweeps) == 1, info["token"]
+            prev_ts = sweeps[0]["CAM_FRONT"]["timestamp"]
+            assert prev_ts == pytest.approx(info["timestamp"] - dt)
+            assert os.path.exists(sweeps[0]["CAM_FRONT"]["data_path"])
+    # the warmup frame shows the scene at t0 - dt: same rig, objects moved —
+    # a genuinely different image from frame 0 (motion evidence, not a copy)
+    f0 = np.asarray(Image.open(str(tmp_path / "s1_f0_CAM_FRONT.jpg")), float)
+    fm1 = np.asarray(Image.open(str(tmp_path / "s1_fm1_CAM_FRONT.jpg")), float)
+    assert f0.shape == fm1.shape
+    assert np.abs(f0 - fm1).mean() > 0.5

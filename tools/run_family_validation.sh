@@ -3,6 +3,17 @@
 # time — sitecustomize serializes on the chip claim). Each run trains a
 # family preset on the synthetic harness and scores held-out scenes.
 # Logs to /tmp/synth_<family>.log; exit codes recorded in the summary.
+#
+# Floors are pinned at the round-3/4 measured anchors (README "Synthetic
+# end-to-end training validation" table):
+#   v1_nohue  — single-frame baseline on motion-only data: mAP >= 0.10;
+#               its held-out mAVE 1.182 is the TEMPORAL floor below.
+#   v2        — PETRv2 2-frame temporal (bf16): mAP >= 0.10 AND
+#               mAVE < 1.182 (beats the single-frame velocity floor —
+#               the with_time pathway actually trains,
+#               reference petrv2_head.py:499-521).
+#   r50dcn    — Pallas DCN custom VJP at real step counts: mAP >= 0.05.
+#   depthr    — depth-guided decoder (GT-depth oracle): mAP >= 0.05.
 set -u
 export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
@@ -19,13 +30,14 @@ run v1_nohue --config synth_small --steps 6000 --scenes 84 --val-scenes 6 \
     --no-velocity-hue --eval-every 4000 --floor 0.10 \
     --save-ckpt /root/work/synthv1_ckpt --out-dir /tmp/petr_synth_nohue_v1
 
-echo "=== roofline: $(date -u +%H:%M:%S)"
-python tools/roofline_vov.py > /tmp/roofline_anchors.log 2>&1
-echo "=== roofline done rc=$? $(date -u +%H:%M:%S)"
-tail -8 /tmp/roofline_anchors.log
+run v2 --config synth_small_v2 --steps 6000 --scenes 84 --val-scenes 6 \
+    --no-velocity-hue --eval-every 2000 --floor 0.10 --mave-ceiling 1.182 \
+    --save-ckpt /root/work/synthv2_ckpt --resume --out-dir /tmp/petr_synth_v2
 
 run r50dcn --config synth_small_r50dcn --steps 4000 --scenes 84 --val-scenes 6 \
-    --eval-every 2000 --floor 0.05 --out-dir /tmp/petr_synth_r50dcn
+    --eval-every 2000 --floor 0.05 \
+    --save-ckpt /root/work/synthr50_ckpt --resume --out-dir /tmp/petr_synth_r50dcn
 
 run depthr --config synth_small_depthr --steps 4000 --scenes 84 --val-scenes 6 \
-    --eval-every 2000 --floor 0.05 --out-dir /tmp/petr_synth_depthr
+    --eval-every 2000 --floor 0.05 \
+    --save-ckpt /root/work/synthdepthr_ckpt --resume --out-dir /tmp/petr_synth_depthr

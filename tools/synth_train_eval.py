@@ -39,6 +39,10 @@ def main():
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--floor", type=float, default=0.15, help="min held-out mAP")
+    p.add_argument("--mave-ceiling", type=float, default=None,
+                   help="max held-out mAVE (temporal validation: the v2 run "
+                   "must BEAT the single-frame floor on motion-only data, "
+                   "README synthetic table)")
     p.add_argument("--out-dir", default="/tmp/petr_synth")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-every", type=int, default=0,
@@ -217,8 +221,14 @@ def main():
     if results["mAP"] < args.floor:
         print(f"FAIL: held-out mAP {results['mAP']:.3f} < floor {args.floor}")
         sys.exit(1)
+    if args.mave_ceiling is not None and results["mAVE"] >= args.mave_ceiling:
+        print(f"FAIL: held-out mAVE {results['mAVE']:.3f} >= ceiling "
+              f"{args.mave_ceiling}")
+        sys.exit(1)
     print(f"SYNTH TRAIN/EVAL OK: held-out mAP {results['mAP']:.3f} "
-          f">= {args.floor}")
+          f">= {args.floor}"
+          + (f", mAVE {results['mAVE']:.3f} < {args.mave_ceiling}"
+             if args.mave_ceiling is not None else ""))
 
 
 if __name__ == "__main__":
