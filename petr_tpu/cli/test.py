@@ -107,6 +107,10 @@ def run_streaming_inference(cfg, params, ds, quant_scales=None):
         smp = ds.streaming_sample(i, prev_info)
         if not smp["cached"]:
             runner.reset()
+            if smp.get("prev_images") is not None:
+                # scene start with a stored sweep: prime the cache with the
+                # sweep's views so the frame matches the full 12-view eval
+                runner.prime(smp["prev_images"][None])
         else:
             n_cached += 1
         det = jax.device_get(runner.step(

@@ -247,25 +247,38 @@ class NuScenesDataset:
         (`petr_tpu.serve.StreamingPETRv2`) holds in its cache. Its
         ego-aligned matrices and lidar-relative timestamps come from THIS
         sample's own info record (the same chain the offline loader uses),
-        so no live pose math is needed. When there is no match (scene start,
-        or ``prev_info`` is None) the previous frame self-pads exactly like
-        the offline ``pad_empty_sweeps`` path and ``cached`` is False — the
-        caller must ``reset()`` its feature cache.
+        so no live pose math is needed. When there is no match but the info
+        carries sweep records (scene start), the test-mode sweep is used and
+        its IMAGES are returned as ``prev_images`` so the caller can
+        ``prime()`` its feature cache — streaming then reproduces the full
+        12-view eval exactly on every frame, including scene starts. Only
+        when no sweeps exist at all does the previous frame self-pad like
+        the offline ``pad_empty_sweeps`` path. Either way ``cached`` is
+        False and the caller must ``reset()`` first.
 
         Returns images for the CURRENT 6 views only, (12,)-view matrices /
-        timestamps, and ``cached``.
+        timestamps, ``cached``, and ``prev_images`` (None unless priming).
         """
         assert self.cfg.num_frames > 1, "streaming_sample needs a 2-frame config"
         info = self.infos[idx]
         cams = [dict(info["cams"][name], _ts_ref=info["timestamp"]) for name in CAM_ORDER]
 
         matched = None
+        prime = False
         if prev_info is not None:
             prev_path = prev_info["cams"][CAM_ORDER[0]]["data_path"]
             for frame in info.get("sweeps_cams") or []:
                 if frame[CAM_ORDER[0]]["data_path"] == prev_path:
                     matched = frame
                     break
+        if matched is None:
+            sweeps = info.get("sweeps_cams") or []
+            if sweeps:
+                # scene start with stored sweeps: the offline eval path's
+                # test-mode pick (`_select_cams`), surfaced for cache priming
+                lo, hi = self.sweep_range
+                matched = sweeps[min(max((lo + hi) // 2, 0), len(sweeps) - 1)]
+                prime = True
         if matched is not None:
             prev_cams = [dict(matched[name], _ts_ref=info["timestamp"]) for name in CAM_ORDER]
         else:
@@ -291,13 +304,19 @@ class NuScenesDataset:
         l2i = np.stack(l2i_list)  # (12, 4, 4)
 
         fh, fw = self.cfg.final_dim
+        prev_images = None
+        if prime:
+            prev_images = np.stack(
+                self._load_and_transform(prev_cams, ida)
+            ).astype(np.float32)
         return {
             "images": np.stack(images).astype(np.float32),  # (6, H, W, 3)
             "img2lidar": _safe_img2lidar(l2i).astype(np.float32),
             "img_hw": np.full((len(l2i_list), 2), [fh, fw], np.float32),
             "timestamp": np.asarray(ts_list, np.float32),
             "token": info.get("token", str(idx)),
-            "cached": matched is not None,
+            "cached": matched is not None and not prime,
+            "prev_images": prev_images,
         }
 
     def get(self, idx: int, seed: int = 0) -> Dict[str, np.ndarray]:

@@ -16,9 +16,12 @@ position embedding inside the head, which is recomputed every frame. The
 result equals the full 12-view forward whenever the deployment's previous
 frame matches the sweep the offline loader would have picked.
 
-First frame: features are self-padded (prev := current), mirroring the
-reference's ``pad_empty_sweeps`` degradation (`loading.py:69-78`); the caller
-should offset the previous-frame timestamps the same way the data layer does
+First frame of a scene: call ``prime()`` with the stored sweep's views
+(`streaming_sample` returns them as ``prev_images``) so the result matches
+the full eval exactly; without any sweep record, features are self-padded
+(prev := current), mirroring the reference's ``pad_empty_sweeps``
+degradation (`loading.py:69-78`) — then the caller should offset the
+previous-frame timestamps the same way the data layer does
 (`petr_tpu/data/dataset.py::_select_cams`).
 """
 
@@ -117,6 +120,17 @@ class StreamingPETRv2:
     def reset(self) -> None:
         """Drop the cached frame (scene boundary)."""
         self._prev_feats = None
+
+    def prime(self, images) -> None:
+        """Warm the cache with the PREVIOUS frame's 6 views (scene start).
+
+        A deployment's camera stream exists before the first keyframe, and
+        offline info records store that sweep (`streaming_sample` returns its
+        images as ``prev_images``) — priming with it makes the streaming
+        path reproduce the full 12-view eval exactly on scene-start frames
+        instead of degrading to the self-padded pad_empty path.
+        """
+        self._prev_feats = self._feat_fn(self.params, jnp.asarray(images))
 
     def step(
         self,

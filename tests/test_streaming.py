@@ -147,7 +147,7 @@ def test_streaming_sample_matches_prev_keyframe(tmp_path):
     ds = NuScenesDataset(infos, dcfg, training=False, src_hw=(90, 160), sweep_range=(0, 2))
 
     s0 = ds.streaming_sample(0, None)
-    assert not s0["cached"]  # scene start: self-padded
+    assert not s0["cached"]  # scene start: primable stored sweep, not cached
     assert s0["images"].shape == (6, 32, 80, 3)
     assert s0["img2lidar"].shape == (12, 4, 4)
     # padded prev timestamps carry the mean-sweep offset
@@ -168,6 +168,66 @@ def test_streaming_sample_matches_prev_keyframe(tmp_path):
     foreign = {"cams": {"CAM_FRONT": {"data_path": "other_scene.jpg"}}}
     s3 = ds.streaming_sample(2, foreign)
     assert not s3["cached"]
+
+
+def test_streaming_primed_scene_start_matches_full_eval(tmp_path):
+    """Scene-start frames: priming the cache with the stored sweep's views
+    (`streaming_sample`'s ``prev_images``) reproduces the full 12-view
+    forward EXACTLY — no pad_empty degradation at scene boundaries, so
+    `cli.test --streaming` matches the offline eval on every frame."""
+    import dataclasses
+
+    from petr_tpu.configs import get_config
+    from petr_tpu.data import NuScenesDataset
+    from petr_tpu.data.synthetic import generate_synthetic_scenes
+
+    cfg = get_config("tiny_debug_v2")
+    splits = generate_synthetic_scenes(
+        str(tmp_path), n_scenes=1, frames_per_scene=2, image_hw=(32, 80),
+        n_objects=3, val_scenes=0,
+    )
+    dcfg = dataclasses.replace(cfg.data, src_hw=(32, 80))
+    ds = NuScenesDataset(splits["train"], dcfg, training=False, src_hw=(32, 80))
+
+    # offline eval sample 0: scene start — its prev frame is the warmup sweep
+    full_smp = ds.get(0)
+    model = PETRDetector(cfg.model, deterministic=True)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(full_smp["images"][None]),
+        jnp.asarray(full_smp["img2lidar"][None]),
+        jnp.asarray(full_smp["img_hw"][None]),
+        timestamp=jnp.asarray(full_smp["timestamp"][None]),
+    )["params"]
+    full = model.apply(
+        {"params": params},
+        jnp.asarray(full_smp["images"][None]),
+        jnp.asarray(full_smp["img2lidar"][None]),
+        jnp.asarray(full_smp["img_hw"][None]),
+        timestamp=jnp.asarray(full_smp["timestamp"][None]),
+    )
+
+    smp = ds.streaming_sample(0, None)
+    assert not smp["cached"]
+    assert smp["prev_images"] is not None  # stored sweep surfaced for priming
+    np.testing.assert_allclose(smp["img2lidar"], full_smp["img2lidar"], atol=1e-6)
+    np.testing.assert_allclose(smp["timestamp"], full_smp["timestamp"], atol=1e-6)
+
+    s = StreamingPETRv2(cfg, params, decode=False)
+    s.reset()
+    s.prime(smp["prev_images"][None])
+    out = s.step(
+        smp["images"][None], smp["img2lidar"][None], smp["img_hw"][None],
+        smp["timestamp"][None],
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["cls_logits"]), np.asarray(full["cls_logits"]),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["bbox_codes"]), np.asarray(full["bbox_codes"]),
+        rtol=1e-4, atol=1e-4,
+    )
 
 
 @pytest.mark.slow
