@@ -33,6 +33,19 @@ class BackboneConfig:
     # configs use plain nn.BatchNorm2d (affine trains; only stats are frozen
     # via norm_eval, vovnetcp.py:406-413).
     train_bn_affine: bool = True
+    # BN statistics mode. "frozen" (default) = reference parity for
+    # pretrained checkpoints (mmcv norm_eval=True: stored running stats).
+    # "batch" = per-batch moments, the mmcv norm_eval=False train mode —
+    # REQUIRED when training FROM SCRATCH: frozen identity stats (mean 0,
+    # var 1 at init) leave a ~30-conv backbone with no effective
+    # normalization, and its activations drift exponentially during
+    # training (measured 1e15 at the neck output by step ~900 of a synth
+    # run, saturating every attention softmax downstream — zero cross-attn
+    # gradient — and putting the f32 backward on overflow cliffs). Batch
+    # mode is used at eval too (small-batch moments; the synthetic
+    # validation presets accept this documented deviation from mmcv's
+    # running-stats eval).
+    bn_mode: str = "frozen"
     # Post-training quantization of the backbone convs (serving only):
     # "none" | "calib" (record activation ranges) | "int8" (quantized convs,
     # int32 MXU accumulation). VoVNet only; see petr_tpu/quant.
@@ -265,7 +278,8 @@ _register(ExperimentConfig(
 _register(ExperimentConfig(
     name="synth_small",
     model=ModelConfig(
-        backbone=BackboneConfig(kind="vovnet", spec="V-39-eSE", out_indices=(2, 3)),
+        backbone=BackboneConfig(kind="vovnet", spec="V-39-eSE", out_indices=(2, 3),
+                                bn_mode="batch"),
         head=HeadConfig(num_query=64, embed_dim=128, num_layers=3, num_heads=4,
                         ffn_dim=256, depth_num=16),
         use_grid_mask=False,
@@ -291,7 +305,8 @@ _register(ExperimentConfig(
         # training from scratch with frozen random stats AND frozen affine
         # would handicap learning for reasons unrelated to what this preset
         # validates (the DCN kernel's backward).
-        backbone=dataclasses.replace(_r50((2, 3)), train_bn_affine=True),
+        backbone=dataclasses.replace(_r50((2, 3)), train_bn_affine=True,
+                                     bn_mode="batch"),
         head=HeadConfig(num_query=64, embed_dim=128, num_layers=3, num_heads=4,
                         ffn_dim=256, depth_num=16),
         use_grid_mask=False,
@@ -309,7 +324,8 @@ _register(ExperimentConfig(
 _register(ExperimentConfig(
     name="synth_small_depthr",
     model=ModelConfig(
-        backbone=BackboneConfig(kind="vovnet", spec="V-39-eSE", out_indices=(2, 3)),
+        backbone=BackboneConfig(kind="vovnet", spec="V-39-eSE", out_indices=(2, 3),
+                                bn_mode="batch"),
         head=HeadConfig(kind="depthr", num_query=64, embed_dim=128, num_layers=3,
                         num_heads=4, ffn_dim=256, depth_num=16,
                         # stride-16 features: 4 * 4 depth-map stride
@@ -337,7 +353,8 @@ _register(ExperimentConfig(
 _register(ExperimentConfig(
     name="synth_small_v2",
     model=ModelConfig(
-        backbone=BackboneConfig(kind="vovnet", spec="V-39-eSE", out_indices=(2, 3)),
+        backbone=BackboneConfig(kind="vovnet", spec="V-39-eSE", out_indices=(2, 3),
+                                bn_mode="batch"),
         head=HeadConfig(kind="petrv2", num_query=64, embed_dim=128, num_layers=3,
                         num_heads=4, ffn_dim=256, depth_num=16,
                         with_fpe=True, with_time=True, with_multi_reg=True,

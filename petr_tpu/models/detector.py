@@ -50,6 +50,7 @@ def _backbone_neck_feature(cfg: ModelConfig, images: jax.Array, dtype) -> jax.Ar
             remat=bb_remat,
             dtype=dtype,
             quant=cfg.backbone.quant,
+            bn_mode=cfg.backbone.bn_mode,
             name="backbone",
         )(x)
     elif cfg.backbone.kind == "resnet":
@@ -64,6 +65,7 @@ def _backbone_neck_feature(cfg: ModelConfig, images: jax.Array, dtype) -> jax.Ar
             dcn_stages=cfg.backbone.dcn_stages,
             remat_stages=bb_remat,
             dtype=dtype,
+            bn_mode=cfg.backbone.bn_mode,
             name="backbone",
         )(x)
     else:

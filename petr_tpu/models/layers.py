@@ -81,6 +81,11 @@ class FrozenBatchNorm(nn.Module):
 
     dtype: Dtype = jnp.float32
     eps: float = 1e-5
+    # True = normalize with the CURRENT batch's moments (mmcv
+    # norm_eval=False train mode; from-scratch training). The stored
+    # mean/var params remain in the tree (checkpoint/torch-import parity)
+    # but are unused in that mode.
+    use_batch_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -89,6 +94,11 @@ class FrozenBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         mean = self.param("mean", nn.initializers.zeros, (c,), jnp.float32)
         var = self.param("var", nn.initializers.ones, (c,), jnp.float32)
+        if self.use_batch_stats:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = xf.mean(axis=axes)
+            var = xf.var(axis=axes)
         # Fold into a single scale/shift (XLA fuses this into the conv).
         mul = scale * jax.lax.rsqrt(var + self.eps)
         add = bias - mean * mul
@@ -154,6 +164,7 @@ class ConvBNReLU(nn.Module):
     dtype: Dtype = jnp.float32
     eps: float = 1e-5
     quant: str = "none"
+    bn_mode: str = "frozen"  # "frozen" | "batch" (see BackboneConfig.bn_mode)
 
     def _use_pallas(self, x_shape) -> bool:
         import os
@@ -199,6 +210,8 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.bn_mode == "batch" and self.quant != "none":
+            raise ValueError("int8 PTQ requires frozen BN (serving path)")
         if self.quant in ("calib", "int8"):
             amax = self.variable(
                 "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
@@ -209,7 +222,7 @@ class ConvBNReLU(nn.Module):
                 amax.value = jnp.maximum(
                     amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
                 )
-        if self._use_pallas(x.shape):
+        if self._use_pallas(x.shape) and self.bn_mode == "frozen":
             from petr_tpu.ops.pallas.conv3x3 import conv3x3_bn_relu
 
             w = _ConvKernel((3, 3, x.shape[-1], self.features), name="conv")()
@@ -229,7 +242,10 @@ class ConvBNReLU(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = FrozenBatchNorm(dtype=self.dtype, eps=self.eps, name="bn")(x)
+        x = FrozenBatchNorm(
+            dtype=self.dtype, eps=self.eps,
+            use_batch_stats=self.bn_mode == "batch", name="bn",
+        )(x)
         if self.relu:
             x = nn.relu(x)
         return x

@@ -32,6 +32,7 @@ class Bottleneck(nn.Module):
     style: str = "caffe"  # 'caffe': stride on conv1; 'pytorch': on conv2
     use_dcn: bool = False
     dtype: Dtype = jnp.float32
+    bn_mode: str = "frozen"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -40,7 +41,7 @@ class Bottleneck(nn.Module):
         identity = x
 
         y = nn.Conv(self.mid, (1, 1), strides=(s1, s1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = FrozenBatchNorm(dtype=self.dtype, name="bn1")(y)
+        y = FrozenBatchNorm(dtype=self.dtype, use_batch_stats=self.bn_mode == "batch", name="bn1")(y)
         y = nn.relu(y)
 
         if self.use_dcn:
@@ -63,18 +64,18 @@ class Bottleneck(nn.Module):
                 self.mid, (3, 3), strides=(s2, s2), padding=[(1, 1), (1, 1)],
                 use_bias=False, dtype=self.dtype, name="conv2",
             )(y)
-        y = FrozenBatchNorm(dtype=self.dtype, name="bn2")(y)
+        y = FrozenBatchNorm(dtype=self.dtype, use_batch_stats=self.bn_mode == "batch", name="bn2")(y)
         y = nn.relu(y)
 
         y = nn.Conv(self.out, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
-        y = FrozenBatchNorm(dtype=self.dtype, name="bn3")(y)
+        y = FrozenBatchNorm(dtype=self.dtype, use_batch_stats=self.bn_mode == "batch", name="bn3")(y)
 
         if x.shape[-1] != self.out or self.stride != 1:
             identity = nn.Conv(
                 self.out, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="downsample_conv",
             )(x)
-            identity = FrozenBatchNorm(dtype=self.dtype, name="downsample_bn")(identity)
+            identity = FrozenBatchNorm(dtype=self.dtype, use_batch_stats=self.bn_mode == "batch", name="downsample_bn")(identity)
         return nn.relu(y + identity)
 
 
@@ -90,6 +91,7 @@ class ResNet(nn.Module):
     style: str = "caffe"
     remat_stages: bool = True
     dtype: Dtype = jnp.float32
+    bn_mode: str = "frozen"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, ...]:
@@ -99,7 +101,7 @@ class ResNet(nn.Module):
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
             use_bias=False, dtype=self.dtype, name="stem_conv",
         )(x)
-        x = FrozenBatchNorm(dtype=self.dtype, name="stem_bn")(x)
+        x = FrozenBatchNorm(dtype=self.dtype, use_batch_stats=self.bn_mode == "batch", name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -117,6 +119,7 @@ class ResNet(nn.Module):
                     self.style,
                     stage in self.dcn_stages,
                     self.dtype,
+                    self.bn_mode,
                     name=f"layer{stage + 1}_block{b}",
                 )(x)
             if stage in self.out_indices:

@@ -78,6 +78,7 @@ class OSABlock(nn.Module):
     use_ese: bool = True
     dtype: Dtype = jnp.float32
     quant: str = "none"
+    bn_mode: str = "frozen"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -85,12 +86,14 @@ class OSABlock(nn.Module):
         y = x
         for i in range(self.layer_per_block):
             y = ConvBNReLU(
-                self.stage_ch, 3, dtype=self.dtype, quant=self.quant, name=f"conv{i}"
+                self.stage_ch, 3, dtype=self.dtype, quant=self.quant,
+                bn_mode=self.bn_mode, name=f"conv{i}"
             )(y)
             feats.append(y)
         y = jnp.concatenate(feats, axis=-1)
         y = ConvBNReLU(
-            self.concat_ch, 1, dtype=self.dtype, quant=self.quant, name="concat"
+            self.concat_ch, 1, dtype=self.dtype, quant=self.quant,
+            bn_mode=self.bn_mode, name="concat"
         )(y)
         if self.use_ese:
             y = ESE(self.concat_ch, dtype=self.dtype, name="ese")(y)
@@ -108,14 +111,15 @@ class VoVNet(nn.Module):
     remat: bool = True
     dtype: Dtype = jnp.float32
     quant: str = "none"
+    bn_mode: str = "frozen"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, ...]:
         spec = SPECS[self.spec]
         s0, s1, s2 = spec["stem"]
-        x = ConvBNReLU(s0, 3, 2, dtype=self.dtype, quant=self.quant, name="stem1")(x)
-        x = ConvBNReLU(s1, 3, 1, dtype=self.dtype, quant=self.quant, name="stem2")(x)
-        x = ConvBNReLU(s2, 3, 2, dtype=self.dtype, quant=self.quant, name="stem3")(x)
+        x = ConvBNReLU(s0, 3, 2, dtype=self.dtype, quant=self.quant, bn_mode=self.bn_mode, name="stem1")(x)
+        x = ConvBNReLU(s1, 3, 1, dtype=self.dtype, quant=self.quant, bn_mode=self.bn_mode, name="stem2")(x)
+        x = ConvBNReLU(s2, 3, 2, dtype=self.dtype, quant=self.quant, bn_mode=self.bn_mode, name="stem3")(x)
 
         Block = nn.remat(OSABlock) if self.remat else OSABlock
         outs = []
@@ -132,6 +136,7 @@ class VoVNet(nn.Module):
                     spec["eSE"],
                     self.dtype,
                     self.quant,
+                    self.bn_mode,
                     name=f"stage{stage + 2}_block{b}",
                 )(x)
             if stage in self.out_indices:

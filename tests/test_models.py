@@ -28,6 +28,35 @@ def test_frozen_bn_is_affine():
     np.testing.assert_allclose(np.asarray(y), -0.5, rtol=1e-5)
 
 
+def test_batch_stats_bn_normalizes():
+    """bn_mode="batch" (mmcv norm_eval=False): per-batch moments actually
+    normalize — the from-scratch training mode. Param tree is unchanged
+    (stored mean/var stay for checkpoint parity, unused)."""
+    bn_f = FrozenBatchNorm()
+    bn_b = FrozenBatchNorm(use_batch_stats=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(3.0, 5.0, (4, 8, 8, 16)), jnp.float32)
+    pf = bn_f.init(jax.random.PRNGKey(0), x)["params"]
+    pb = bn_b.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree_util.tree_structure(pf) == jax.tree_util.tree_structure(pb)
+    y = np.asarray(bn_b.apply({"params": pb}, x))
+    # identity affine at init: output is standardized per channel
+    np.testing.assert_allclose(y.mean(axis=(0, 1, 2)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(y.var(axis=(0, 1, 2)), 1.0, atol=1e-3)
+    # frozen mode with identity stats would have left the distribution alone
+    yf = np.asarray(bn_f.apply({"params": pf}, x))
+    assert abs(yf.mean() - 3.0) < 0.1
+
+    # a deep from-scratch stack stays O(1) under batch stats (the frozen
+    # variant at init is unnormalized and drifts with depth/training)
+    bb = VoVNet(spec="V-39-eSE", out_indices=(2, 3), remat=False, bn_mode="batch")
+    xb = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)), jnp.float32)
+    params = bb.init(jax.random.PRNGKey(1), xb)["params"]
+    outs = bb.apply({"params": params}, xb)
+    for o in outs:
+        assert float(jnp.abs(o).max()) < 50.0
+
+
 def test_mha_matches_naive_sdpa():
     """Our MHA == manual softmax attention with the same projections."""
     mha = MultiheadAttention(embed_dim=16, num_heads=4)
