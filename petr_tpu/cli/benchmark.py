@@ -72,7 +72,9 @@ def main():
         import dataclasses
 
         quant_scales = None
-        model_cfg = cfg.model
+        from petr_tpu.configs.config import eval_model_config
+
+        model_cfg = eval_model_config(cfg.model)
         if args.quant_scales:
             from petr_tpu.quant import load_scales
 

@@ -99,6 +99,18 @@ class FrozenBatchNorm(nn.Module):
             axes = tuple(range(x.ndim - 1))
             mean = xf.mean(axis=axes)
             var = xf.var(axis=axes)
+            # surface the batch moments so the train step can EMA them into
+            # the stored mean/var params (mmcv norm_eval=False semantics:
+            # batch moments in forward, running averages tracked for eval —
+            # eval-time models are built with bn_mode="frozen" and read the
+            # EMA'd params, keeping eval per-sample independent and the
+            # streaming feature cache exact)
+            if self.is_initializing() or self.is_mutable_collection("batch_stats"):
+                mv = self.variable("batch_stats", "mean", lambda: jnp.zeros(c))
+                vv = self.variable("batch_stats", "var", lambda: jnp.ones(c))
+                if not self.is_initializing():
+                    mv.value = mean
+                    vv.value = var
         # Fold into a single scale/shift (XLA fuses this into the conv).
         mul = scale * jax.lax.rsqrt(var + self.eps)
         add = bias - mean * mul

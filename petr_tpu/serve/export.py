@@ -169,8 +169,11 @@ def make_streaming_fns(cfg: ExperimentConfig, quant_scales=None):
     from petr_tpu.models.detector import PETRFeatureNet, PETRHeadNet
     from petr_tpu.ops.nms_free import nms_free_decode
 
-    feature_net = PETRFeatureNet(cfg.model)
-    head_net = PETRHeadNet(cfg.model, tuple(cfg.data.image_size))
+    from petr_tpu.configs.config import eval_model_config
+
+    emc = eval_model_config(cfg.model)
+    feature_net = PETRFeatureNet(emc)
+    head_net = PETRHeadNet(emc, tuple(cfg.data.image_size))
 
     def feature_fn(params, images):
         variables = {"params": params}

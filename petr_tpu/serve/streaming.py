@@ -70,9 +70,12 @@ class StreamingPETRv2:
                 f"StreamingPETRv2 needs a 2-frame config, got num_frames="
                 f"{cfg.data.num_frames} ({cfg.name})"
             )
-        if quant_scales is not None:
-            import dataclasses
+        import dataclasses
 
+        from petr_tpu.configs.config import eval_model_config
+
+        cfg = dataclasses.replace(cfg, model=eval_model_config(cfg.model))
+        if quant_scales is not None:
             cfg = dataclasses.replace(
                 cfg,
                 model=dataclasses.replace(

@@ -74,10 +74,13 @@ def create_train_state(
 
 
 def make_grad_fn(cfg: ExperimentConfig, axis_name: Optional[str] = None):
-    """(params, batch, rng) -> (total, losses, grads) for one (micro-)batch.
+    """(params, batch, rng) -> (total, losses, grads, bn_stats).
 
     Factored out of make_train_step so gradient accumulation can scan it over
     micro-batches (and tests can call it to cross-check the accumulated path).
+    ``bn_stats`` is the "batch_stats" collection (this step's batch moments
+    from any bn_mode="batch" backbone; {} for frozen-BN models) — the train
+    step EMAs it into the stored mean/var params (mmcv norm_eval=False).
     """
     model = PETRDetector(cfg.model, deterministic=False)
     ocfg = cfg.train.optim
@@ -92,7 +95,7 @@ def make_grad_fn(cfg: ExperimentConfig, axis_name: Optional[str] = None):
                     gt_boxes=batch["gt_boxes"], gt_valid=batch["gt_valid"],
                     lidar2img=batch["lidar2img"],
                 )
-            outputs = model.apply(
+            outputs, newvars = model.apply(
                 {"params": params},
                 batch["images"],
                 batch["img2lidar"],
@@ -100,6 +103,7 @@ def make_grad_fn(cfg: ExperimentConfig, axis_name: Optional[str] = None):
                 timestamp=batch.get("timestamp"),
                 grid_mask_rng=gm_rng,
                 rngs={"dropout": drop_rng},
+                mutable=["batch_stats"],
                 **extra,
             )
             total, losses = petr_set_loss(
@@ -114,10 +118,13 @@ def make_grad_fn(cfg: ExperimentConfig, axis_name: Optional[str] = None):
                 sync_cls_avg_factor=ocfg.sync_cls_avg_factor,
                 axis_name=axis_name,
             )
-            return total, losses
+            stats = newvars.get("batch_stats", {})
+            return total, (losses, stats)
 
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        return total, losses, grads
+        (total, (losses, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        return total, losses, grads, stats
 
     return grad_fn
 
@@ -145,15 +152,22 @@ def accumulate_grads(grad_fn, params, batch: Dict[str, jax.Array], rng: jax.Arra
 
     def body(grads_acc, xs):
         i, mb = xs
-        t, l, g = grad_fn(params, mb, jax.random.fold_in(rng, i))
-        return jax.tree.map(jnp.add, grads_acc, g), (t, l)
+        t, l, g, s = grad_fn(params, mb, jax.random.fold_in(rng, i))
+        return jax.tree.map(jnp.add, grads_acc, g), (t, l, s)
 
     zeros = jax.tree.map(jnp.zeros_like, params)
-    grads_sum, (totals, losses_stacked) = jax.lax.scan(
+    grads_sum, (totals, losses_stacked, stats_stacked) = jax.lax.scan(
         body, zeros, (jnp.arange(accum), micro_batches)
     )
     grads = jax.tree.map(lambda g: g / accum, grads_sum)
-    return jnp.mean(totals), jax.tree.map(lambda x: jnp.mean(x, axis=0), losses_stacked), grads
+    # bn batch moments: mean over the micro-batches (same batch, interleaved)
+    stats = jax.tree.map(lambda x: jnp.mean(x, axis=0), stats_stacked)
+    return (
+        jnp.mean(totals),
+        jax.tree.map(lambda x: jnp.mean(x, axis=0), losses_stacked),
+        grads,
+        stats,
+    )
 
 
 def _advance_schedule_counts(new_opt: Any, old_opt: Any) -> Any:
@@ -181,6 +195,29 @@ def _advance_schedule_counts(new_opt: Any, old_opt: Any) -> Any:
     return old_opt
 
 
+def _ema_bn_stats(params: Any, stats: Any, momentum: float = 0.1) -> Any:
+    """EMA this step's batch moments into the stored bn mean/var params.
+
+    The "batch_stats" collection tree mirrors the param tree's module paths
+    (same FrozenBatchNorm submodules emit both), so a path-keyed merge is
+    exact. torch/mmcv BN semantics: running = (1 - momentum) * running +
+    momentum * batch, updated on EVERY forward — including optimizer-skipped
+    iterations.
+    """
+    leaves = jax.tree_util.tree_leaves_with_path(stats)
+    if not leaves:
+        return params
+    flat = {jax.tree_util.keystr(p): v for p, v in leaves}
+
+    def upd(path, leaf):
+        v = flat.get(jax.tree_util.keystr(path))
+        if v is None:
+            return leaf
+        return (1.0 - momentum) * leaf + momentum * v
+
+    return jax.tree_util.tree_map_with_path(upd, params)
+
+
 def make_train_step(cfg: ExperimentConfig, axis_name: Optional[str] = None):
     grad_fn = make_grad_fn(cfg, axis_name)
     accum = cfg.train.grad_accum
@@ -189,9 +226,11 @@ def make_train_step(cfg: ExperimentConfig, axis_name: Optional[str] = None):
         step_rng = jax.random.fold_in(rng, state.step)
 
         if accum <= 1:
-            total, losses, grads = grad_fn(state.params, batch, jax.random.fold_in(step_rng, 0))
+            total, losses, grads, bn_stats = grad_fn(
+                state.params, batch, jax.random.fold_in(step_rng, 0)
+            )
         else:
-            total, losses, grads = accumulate_grads(
+            total, losses, grads, bn_stats = accumulate_grads(
                 grad_fn, state.params, batch, step_rng, accum
             )
 
@@ -227,6 +266,11 @@ def make_train_step(cfg: ExperimentConfig, axis_name: Optional[str] = None):
             lambda new, old: jnp.where(ok, new, old),
             candidate.replace(step=state.step), fallback,
         ).replace(step=state.step + 1)
+        # BN running-stats EMA applies regardless of `ok` (torch updates
+        # running stats in forward, before/independent of optimizer.step)
+        new_state = new_state.replace(
+            params=_ema_bn_stats(new_state.params, bn_stats)
+        )
         metrics = {"loss": total, **losses,
                    "grad_norm": gnorm,
                    "grad_nonfinite": nonfinite.astype(jnp.int32),
@@ -240,7 +284,9 @@ def make_eval_step(cfg: ExperimentConfig, quant_scales=None):
     """Jittable decode step. ``quant_scales``: a "quant" collection (from
     petr_tpu.quant.calibrate_detector) enabling the int8 PTQ backbone —
     cfg.model.backbone.quant must be "int8" in that case."""
-    model = PETRDetector(cfg.model, deterministic=True)
+    from petr_tpu.configs.config import eval_model_config
+
+    model = PETRDetector(eval_model_config(cfg.model), deterministic=True)
 
     def eval_step(params, batch: Dict[str, jax.Array]):
         extra = {}

@@ -182,21 +182,21 @@ def test_accumulate_grads_exact_math():
             return total, {"mse": total}
 
         (t, l), g = jax.value_and_grad(loss, has_aux=True)(p)
-        return t, l, g
+        return t, l, g, {}
 
     rng0 = np.random.RandomState(0)
     batch = {"x": jnp.asarray(rng0.randn(6, 3).astype(np.float32)),
              "y": jnp.asarray(rng0.randn(6).astype(np.float32))}
     rng = jax.random.PRNGKey(7)
 
-    total, losses, grads = jax.jit(
+    total, losses, grads, _ = jax.jit(
         lambda p, b, r: accumulate_grads(grad_fn, p, b, r, 3)
     )(params, batch, rng)
 
     ts, gs = [], []
     for i in range(3):
         mb = jax.tree.map(lambda x: x[i::3], batch)
-        t, _, g = grad_fn(params, mb, jax.random.fold_in(rng, i))
+        t, _, g, _s = grad_fn(params, mb, jax.random.fold_in(rng, i))
         ts.append(float(t))
         gs.append(g)
     g_exp = jax.tree.map(lambda *a: sum(a) / 3, *gs)
@@ -208,6 +208,52 @@ def test_accumulate_grads_exact_math():
 
     with pytest.raises(ValueError, match="divisible"):
         accumulate_grads(grad_fn, params, batch, rng, 4)
+
+
+def test_bn_batch_mode_tracks_running_stats_and_eval_invariance():
+    """bn_mode="batch" (mmcv norm_eval=False): the train step EMAs each
+    step's batch moments into the stored bn mean/var params (momentum 0.1,
+    updated even on skipped steps — torch updates stats in forward), and
+    eval-time models read them FROZEN — so eval is per-sample independent
+    (batch-size invariant; the streaming feature cache stays exact)."""
+    import dataclasses
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, backbone=dataclasses.replace(
+            cfg.model.backbone, bn_mode="batch")))
+    batch = tiny_batch(B=2)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), 100, batch)
+
+    def bn_stats(params):
+        bn = params["backbone"]["stem_bn"]
+        return np.asarray(bn["mean"]), np.asarray(bn["var"])
+
+    m0, v0 = bn_stats(state.params)
+    np.testing.assert_allclose(m0, 0.0)
+    step = jax.jit(make_train_step(cfg))
+    rng = jax.random.PRNGKey(1)
+    state, _ = step(state, batch, rng)
+    m1, v1 = bn_stats(state.params)
+    assert not np.allclose(m1, m0)  # stats moved toward batch moments
+    # EMA with momentum 0.1 from (0, 1): after one step,
+    # m1 = 0.1 * batch_mean, v1 = 0.9 + 0.1 * batch_var
+    batch_mean = m1 / 0.1
+    batch_var = (v1 - 0.9) / 0.1
+    # converge the EMA on the same batch; running -> batch moments
+    for _ in range(60):
+        state, _ = step(state, batch, rng)
+    m_end, v_end = bn_stats(state.params)
+    np.testing.assert_allclose(m_end, batch_mean, rtol=0.15, atol=0.05)
+    np.testing.assert_allclose(v_end, batch_var, rtol=0.15, atol=0.05)
+
+    # eval (frozen EMA stats): per-sample independent => batch-size invariant
+    eval_step = jax.jit(make_eval_step(cfg))
+    det2 = jax.device_get(eval_step(state.params, {k: jnp.asarray(v) for k, v in batch.items()}))
+    one = {k: jnp.asarray(v[:1]) for k, v in batch.items()}
+    det1 = jax.device_get(eval_step(state.params, one))
+    np.testing.assert_allclose(det1["boxes"][0], det2["boxes"][0], atol=1e-5)
+    np.testing.assert_allclose(det1["scores"][0], det2["scores"][0], atol=1e-5)
 
 
 @pytest.mark.slow

@@ -53,7 +53,7 @@ def main():
                 cfg, model=dataclasses.replace(cfg.model, use_flash_attention=flash)
             )
             gfn = jax.jit(make_grad_fn(c))
-            total, losses, grads = gfn(params, jb, step_rng)
+            total, losses, grads, _ = gfn(params, jb, step_rng)
             g = jax.device_get(grads)
             nf = nonfinite_by_subtree(g)
             print(f"{tag}: loss={float(total):.4f} nonfinite={nf or 0}", flush=True)

@@ -94,7 +94,7 @@ def main():
             step_rng = jax.random.fold_in(jax.random.fold_in(rng, state.step), 0)
             # 1. per-subtree gradient damage
             gfn = make_grad_fn(cfg)
-            total, losses, grads = gfn(state.params, jb, step_rng)
+            total, losses, grads, _ = gfn(state.params, jb, step_rng)
             print("loss at bad step (recomputed):", float(total), flush=True)
             print("nonfinite grads by subtree:",
                   nonfinite_by_subtree(jax.device_get(grads)), flush=True)

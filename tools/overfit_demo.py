@@ -50,8 +50,16 @@ def main():
         train=dataclasses.replace(cfg.train, optim=ocfg),
     )
 
-    B, N, (H, W), G = 1, cfg.data.num_views, cfg.data.image_size, args.num_gt
-    batch = ge._batch(B, N, H, W, G, seed=3)
+    B, (H, W), G = 1, cfg.data.image_size, args.num_gt
+    N = cfg.data.num_views * cfg.data.num_frames
+    batch = ge._batch(B, N, H, W, G, with_ts=cfg.data.num_frames > 1, seed=3)
+    if cfg.data.num_frames > 1:
+        # realistic lidar-relative timestamps: current 6 at 0, prev 6 at +0.5
+        import jax.numpy as _jnp
+
+        ts = np.zeros((B, N), np.float32)
+        ts[:, cfg.data.num_views:] = 0.5
+        batch["timestamp"] = _jnp.asarray(ts)
 
     state = create_train_state(cfg, jax.random.PRNGKey(0), args.steps, batch)
     train_step = jax.jit(make_train_step(cfg))
