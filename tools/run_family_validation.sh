@@ -30,8 +30,14 @@ run v1_nohue --config synth_small --steps 6000 --scenes 84 --val-scenes 6 \
     --no-velocity-hue --eval-every 4000 --floor 0.10 \
     --save-ckpt /root/work/synthv1_ckpt --out-dir /tmp/petr_synth_nohue_v1
 
-run v2 --config synth_small_v2 --steps 6000 --scenes 84 --val-scenes 6 \
-    --no-velocity-hue --eval-every 2000 --floor 0.10 --mave-ceiling 1.182 \
+# measured round 4: mAP 0.3129 / NDS 0.3078 at 8k steps (2.0x the
+# single-frame row); mAVE 1.504 did NOT beat the 1.182 ceiling — the
+# velocity head converges to v=0 at this budget (README table note).
+# 12-view runs are host-OOM-killed by relay-buffer growth near ~4.8k
+# steps: run under an OOM-restart loop (rc 137 -> rerun; --resume picks
+# up the latest eval-boundary checkpoint).
+run v2 --config synth_small_v2 --steps 8000 --scenes 84 --val-scenes 6 \
+    --no-velocity-hue --eval-every 1000 --floor 0.10 --mave-ceiling 1.182 \
     --save-ckpt /root/work/synthv2_ckpt --resume --out-dir /tmp/petr_synth_v2
 
 run r50dcn --config synth_small_r50dcn --steps 4000 --scenes 84 --val-scenes 6 \
