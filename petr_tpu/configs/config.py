@@ -50,6 +50,11 @@ class BackboneConfig:
     # synth validation runs f32+frozen, the regime its baselines were
     # measured in.
     bn_mode: str = "frozen"
+    # EMA momentum for the running stats tracked under bn_mode="batch":
+    # running = (1 - momentum) * running + momentum * batch. 0.1 is torch
+    # nn.BatchNorm2d's default, which every reference config inherits
+    # (mmcv norm_cfg dicts never override it).
+    bn_momentum: float = 0.1
     # Post-training quantization of the backbone convs (serving only):
     # "none" | "calib" (record activation ranges) | "int8" (quantized convs,
     # int32 MXU accumulation). VoVNet only; see petr_tpu/quant.

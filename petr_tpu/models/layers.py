@@ -110,7 +110,13 @@ class FrozenBatchNorm(nn.Module):
                 vv = self.variable("batch_stats", "var", lambda: jnp.ones(c))
                 if not self.is_initializing():
                     mv.value = mean
-                    vv.value = var
+                    # torch BN tracks the UNBIASED (Bessel-corrected)
+                    # variance in running_var while normalizing with the
+                    # biased one — mirror both sides exactly
+                    n = 1
+                    for a in axes:
+                        n *= x.shape[a]
+                    vv.value = var * (n / max(n - 1, 1))
         # Fold into a single scale/shift (XLA fuses this into the conv).
         mul = scale * jax.lax.rsqrt(var + self.eps)
         add = bias - mean * mul

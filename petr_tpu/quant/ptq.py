@@ -60,9 +60,14 @@ def calibrate_detector(cfg, params, batches, **detector_kwargs):
     """
     from petr_tpu.models import PETRDetector
 
+    from petr_tpu.configs.config import eval_model_config
+
+    # eval_model_config: a bn_mode="batch"-trained checkpoint calibrates on
+    # its frozen EMA stats like every other eval/serving path (the int8
+    # ConvBNReLU folding requires frozen BN)
+    mcfg = eval_model_config(cfg.model)
     calib_cfg = dataclasses.replace(
-        cfg.model,
-        backbone=dataclasses.replace(cfg.model.backbone, quant="calib"),
+        mcfg, backbone=dataclasses.replace(mcfg.backbone, quant="calib"),
     )
     model = PETRDetector(calib_cfg, deterministic=True, **detector_kwargs)
 

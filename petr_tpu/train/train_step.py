@@ -160,13 +160,46 @@ def accumulate_grads(grad_fn, params, batch: Dict[str, jax.Array], rng: jax.Arra
         body, zeros, (jnp.arange(accum), micro_batches)
     )
     grads = jax.tree.map(lambda g: g / accum, grads_sum)
-    # bn batch moments: mean over the micro-batches (same batch, interleaved)
-    stats = jax.tree.map(lambda x: jnp.mean(x, axis=0), stats_stacked)
+    # bn batch moments: exact whole-batch combine over the stacked
+    # micro-batches (a plain mean of vars would underestimate by the
+    # variance of the micro-batch means)
+    stats = _combine_bn_moments(stats_stacked, lambda x: jnp.mean(x, axis=0))
     return (
         jnp.mean(totals),
         jax.tree.map(lambda x: jnp.mean(x, axis=0), losses_stacked),
         grads,
         stats,
+    )
+
+
+def _combine_bn_moments(stats: Any, reduce_fn) -> Any:
+    """Combine per-shard BN batch moments into whole-batch moments.
+
+    ``stats`` is a "batch_stats" tree whose BN modules emit sibling
+    ``mean``/``var`` leaves; ``reduce_fn`` averages a leaf over the shard
+    dimension (a ``pmean`` across replicas, or ``.mean(0)`` over stacked
+    micro-batches). Equal-size shards, parallel-variance identity:
+        mean = avg(mean_i);  var = avg(var_i + mean_i^2) - mean^2
+    — exact for the biased variance; the leaves carry the Bessel-corrected
+    one (torch running_var semantics), making this exact to O(1/n) with n
+    the per-shard element count (B*H*W — thousands).
+    """
+    leaves = jax.tree_util.tree_leaves_with_path(stats)
+    if not leaves:
+        return stats
+    flat = {jax.tree_util.keystr(p): v for p, v in leaves}
+    out = {}
+    for ks, v in flat.items():
+        if not ks.endswith("['mean']"):
+            continue
+        parent = ks[: -len("['mean']")]
+        m = reduce_fn(v)
+        out[ks] = m
+        out[parent + "['var']"] = jnp.maximum(
+            reduce_fn(flat[parent + "['var']"] + v ** 2) - m ** 2, 0.0
+        )
+    return jax.tree_util.tree_map_with_path(
+        lambda p, leaf: out.get(jax.tree_util.keystr(p), leaf), stats
     )
 
 
@@ -237,6 +270,14 @@ def make_train_step(cfg: ExperimentConfig, axis_name: Optional[str] = None):
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             total = jax.lax.pmean(total, axis_name)
+            # bn batch moments must be combined like grads — replicas EMAing
+            # their LOCAL moments into replicated params would silently
+            # diverge. Exact global-batch moments via the parallel-variance
+            # identity (not a plain pmean of vars, which drops the
+            # between-shard mean variance).
+            bn_stats = _combine_bn_moments(
+                bn_stats, lambda v: jax.lax.pmean(v, axis_name)
+            )
         # divergence diagnostics (cheap reductions; note the losses are
         # nan_to_num'd for reference parity, so a blown-up run shows
         # loss=0.0 — grad_norm/nonfinite make the cause visible)
@@ -269,7 +310,8 @@ def make_train_step(cfg: ExperimentConfig, axis_name: Optional[str] = None):
         # BN running-stats EMA applies regardless of `ok` (torch updates
         # running stats in forward, before/independent of optimizer.step)
         new_state = new_state.replace(
-            params=_ema_bn_stats(new_state.params, bn_stats)
+            params=_ema_bn_stats(new_state.params, bn_stats,
+                                 momentum=cfg.model.backbone.bn_momentum)
         )
         metrics = {"loss": total, **losses,
                    "grad_norm": gnorm,

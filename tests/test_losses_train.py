@@ -424,3 +424,119 @@ def test_skipped_step_advances_lr_schedule_only():
     adam_after = counts(jax.device_get(new_state.opt_state), sched_only=False)
     n_sched = len(sched_after)
     assert sum(adam_after) == n_sched  # only the schedule counts are nonzero
+
+
+def test_bn_tracked_var_is_bessel_corrected():
+    """torch BN tracks the UNBIASED variance in running_var while
+    normalizing with the biased one — both sides must match (advisor,
+    round 4)."""
+    from petr_tpu.models.layers import FrozenBatchNorm
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 4, 3), jnp.float32)
+    bn = FrozenBatchNorm(use_batch_stats=True)
+    variables = bn.init(jax.random.PRNGKey(0), x)
+    y, newvars = bn.apply(variables, x, mutable=["batch_stats"])
+    n = 2 * 4 * 4
+    xf = np.asarray(x).reshape(-1, 3)
+    np.testing.assert_allclose(
+        np.asarray(newvars["batch_stats"]["mean"]), xf.mean(0), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(newvars["batch_stats"]["var"]), xf.var(0, ddof=1),
+        rtol=1e-5)
+    # normalization itself uses the BIASED variance (torch semantics)
+    expect = (xf - xf.mean(0)) / np.sqrt(xf.var(0, ddof=0) + 1e-5)
+    np.testing.assert_allclose(
+        np.asarray(y).reshape(-1, 3), expect, rtol=1e-4, atol=1e-5)
+
+
+def test_combine_bn_moments_parallel_variance_exact():
+    """The shard/micro-batch moment combine must recover the WHOLE-batch
+    moments exactly (a plain mean of vars drops the between-shard mean
+    variance)."""
+    from petr_tpu.train.train_step import _combine_bn_moments
+
+    rng = np.random.RandomState(1)
+    data = rng.randn(4, 100, 3).astype(np.float32)  # 4 shards x 100 x C
+    stats = {"bb": {"bn": {
+        "mean": jnp.asarray(data.mean(axis=1)),          # (4, C) stacked
+        "var": jnp.asarray(data.var(axis=1)),            # biased per shard
+    }}}
+    out = _combine_bn_moments(stats, lambda v: jnp.mean(v, axis=0))
+    whole = data.reshape(-1, 3)
+    np.testing.assert_allclose(
+        np.asarray(out["bb"]["bn"]["mean"]), whole.mean(0), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["bb"]["bn"]["var"]), whole.var(0), rtol=1e-5)
+
+
+def test_bn_momentum_config_reaches_the_ema():
+    """BackboneConfig.bn_momentum (default 0.1 = torch parity) controls the
+    running-stats EMA: after one step from (0, 1) init,
+    mean = momentum * batch_mean."""
+    import dataclasses
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, backbone=dataclasses.replace(
+            cfg.model.backbone, bn_mode="batch", bn_momentum=0.5)))
+    batch = tiny_batch(B=2)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), 100, batch)
+    step = jax.jit(make_train_step(cfg))
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    m1 = np.asarray(state.params["backbone"]["stem_bn"]["mean"])
+
+    cfg01 = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, backbone=dataclasses.replace(
+            cfg.model.backbone, bn_mode="batch", bn_momentum=0.1)))
+    state01 = create_train_state(cfg01, jax.random.PRNGKey(0), 100, batch)
+    step01 = jax.jit(make_train_step(cfg01))
+    state01, _ = step01(state01, batch, jax.random.PRNGKey(1))
+    m1_01 = np.asarray(state01.params["backbone"]["stem_bn"]["mean"])
+    # same batch moments, different momentum: 0.5/0.1 = 5x the first EMA step
+    np.testing.assert_allclose(m1, 5.0 * m1_01, rtol=1e-4, atol=1e-6)
+
+
+def test_estimate_bn_stats_single_batch_identity():
+    """Precise-BN estimation over ONE batch must write exactly that batch's
+    emitted moments into the stored mean/var params (the n=1 combine is the
+    identity), leaving all non-BN params untouched."""
+    import dataclasses
+
+    from petr_tpu.models.detector import PETRDetector
+    from petr_tpu.train.bn_warmup import estimate_bn_stats
+
+    cfg = tiny_config()
+    batch = tiny_batch(B=2)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), 10, batch)
+    params = state.params
+
+    new_params = estimate_bn_stats(cfg, params, [batch])
+
+    mcfg = dataclasses.replace(
+        cfg.model, backbone=dataclasses.replace(cfg.model.backbone,
+                                                bn_mode="batch"))
+    model = PETRDetector(mcfg, deterministic=True)
+    _, newvars = model.apply(
+        {"params": params}, batch["images"], batch["img2lidar"],
+        batch["img_hw"], timestamp=None, mutable=["batch_stats"])
+    emitted = {
+        jax.tree_util.keystr(p): np.asarray(v)
+        for p, v in jax.tree_util.tree_leaves_with_path(
+            newvars["batch_stats"])
+    }
+    assert emitted  # the tiny r50 backbone has BN layers
+    changed = 0
+    for p, v in jax.tree_util.tree_leaves_with_path(new_params):
+        ks = jax.tree_util.keystr(p)
+        if ks in emitted:
+            # atol 1e-4: the E[x^2] - mean^2 combine loses fp32 bits to
+            # cancellation on near-zero-variance channels (harmless vs the
+            # BN eps of 1e-5)
+            np.testing.assert_allclose(np.asarray(v), emitted[ks],
+                                       rtol=1e-3, atol=1e-4)
+            changed += 1
+        else:
+            old = {jax.tree_util.keystr(q): w
+                   for q, w in jax.tree_util.tree_leaves_with_path(params)}[ks]
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(old))
+    assert changed == len(emitted)

@@ -8,7 +8,8 @@
 # end-to-end training validation" table):
 #   v1_nohue  — single-frame baseline on motion-only data: mAP >= 0.10;
 #               its held-out mAVE 1.182 is the TEMPORAL floor below.
-#   v2        — PETRv2 2-frame temporal (bf16): mAP >= 0.10 AND
+#   v2        — PETRv2 2-frame temporal (f32, the regime synth_small_v2
+#               pins — see the preset's comment): mAP >= 0.10 AND
 #               mAVE < 1.182 (beats the single-frame velocity floor —
 #               the with_time pathway actually trains,
 #               reference petrv2_head.py:499-521).

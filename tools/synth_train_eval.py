@@ -38,6 +38,11 @@ def main():
     p.add_argument("--image-hw", type=int, nargs=2, default=(128, 320))
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--min-lr-ratio", type=float, default=0.2,
+                   help="cosine-schedule floor as a fraction of --lr (the "
+                   "velocity recipe keeps this high: round 4's mAVE failure "
+                   "traced to LR decaying below what cross-frame "
+                   "correspondence needs to escape the v=0 local optimum)")
     p.add_argument("--floor", type=float, default=0.15, help="min held-out mAP")
     p.add_argument("--mave-ceiling", type=float, default=None,
                    help="max held-out mAVE (temporal validation: the v2 run "
@@ -55,6 +60,21 @@ def main():
                    help="render WITHOUT the velocity hue cue: inter-frame "
                    "motion becomes the only velocity signal (temporal-"
                    "pathway discrimination; see data/synthetic.py)")
+    p.add_argument("--probe-velocity", action="store_true",
+                   help="print TP-matched velocity stats (pred std, corr, "
+                   "error vs the predict-zero baseline) at every eval "
+                   "boundary — the v=0-collapse discriminator "
+                   "(petr_tpu/train/diagnostics.py)")
+    p.add_argument("--bn-warmup", type=int, default=0, metavar="N",
+                   help="estimate BN running stats from N forward passes "
+                   "before training (precise-BN; reproduces the pretrained-"
+                   "stats regime the reference recipes train in — enables "
+                   "bf16 from-scratch under frozen BN; "
+                   "petr_tpu/train/bn_warmup.py)")
+    p.add_argument("--bn-refresh", action="store_true",
+                   help="re-estimate BN stats (--bn-warmup batches) at every "
+                   "eval boundary so the frozen stats track the drifting "
+                   "weights")
     p.add_argument("--save-ckpt", default=None, metavar="DIR",
                    help="save final params as an orbax checkpoint under DIR "
                    "(for cli.test --streaming on the learned weights)")
@@ -94,8 +114,8 @@ def main():
                 bev_scale_range=(1.0, 1.0)) if args.no_aug else {}),
     )
     ocfg = dataclasses.replace(
-        cfg.train.optim, lr=args.lr, warmup_iters=50, min_lr_ratio=0.2,
-        backbone_lr_mult=1.0,
+        cfg.train.optim, lr=args.lr, warmup_iters=50,
+        min_lr_ratio=args.min_lr_ratio, backbone_lr_mult=1.0,
     )
     cfg = dataclasses.replace(
         cfg, data=dcfg, train=dataclasses.replace(cfg.train, optim=ocfg),
@@ -114,6 +134,22 @@ def main():
     step_fn = jax.jit(make_train_step(cfg), donate_argnums=(0,))
     rng = jax.random.PRNGKey(args.seed + 1)
 
+    def loader_batches(n):
+        """First n train batches as device-ready dicts (for BN estimation)."""
+        out = []
+        for batch in loader.epoch(0):
+            batch.pop("tokens")
+            out.append({k: jnp.asarray(v) for k, v in batch.items()})
+            if len(out) >= n:
+                break
+        return out
+
+    vel_probe = None
+    if args.probe_velocity:
+        from petr_tpu.train.diagnostics import make_velocity_probe
+
+        vel_probe = make_velocity_probe(cfg, val_ds, batch_size=args.batch_size)
+
     first = last = None
     step = 0
     if args.resume and args.save_ckpt:
@@ -124,6 +160,15 @@ def main():
             state = restore_checkpoint(ck, state)
             step = int(state.step)
             print(f"resumed from {ck} at step {step}", flush=True)
+    if args.bn_warmup and step == 0:
+        # fresh start only: a resumed run's stats are in the checkpoint
+        from petr_tpu.train.bn_warmup import estimate_bn_stats
+
+        t1 = time.time()
+        state = state.replace(params=estimate_bn_stats(
+            cfg, state.params, loader_batches(args.bn_warmup)))
+        print(f"bn-warmup: estimated BN stats from {args.bn_warmup} "
+              f"batches in {time.time() - t1:.1f}s", flush=True)
     skips = 0
     skips_dev = jnp.zeros((), jnp.int32)
     snap = None  # (step, host TrainState copy) from the last healthy boundary
@@ -186,6 +231,17 @@ def main():
                                   "val/NDS": round(r["NDS"], 4),
                                   "val/mAVE": round(r.get("mAVE", float("nan")), 4),
                                   "val/mATE": round(r["mATE"], 4)}), flush=True)
+                if vel_probe is not None:
+                    print(json.dumps({"step": step, **{
+                        f"vel/{k}": round(v, 4)
+                        for k, v in vel_probe(state.params).items()}}), flush=True)
+                if args.bn_refresh and args.bn_warmup:
+                    from petr_tpu.train.bn_warmup import estimate_bn_stats
+
+                    state = state.replace(params=estimate_bn_stats(
+                        cfg, state.params, loader_batches(args.bn_warmup)))
+                    print(f"bn-refresh: re-estimated BN stats at step {step}",
+                          flush=True)
                 if args.save_ckpt:
                     # periodic save so an OOM-killed run keeps its progress
                     from petr_tpu.train.checkpoint import save_checkpoint
