@@ -45,12 +45,37 @@ def lap_solve(cost: jax.Array, row_valid: jax.Array) -> jax.Array:
 
     VIRT = C  # virtual start column index
 
+    # --- Row-reduction warm start (the rectangular-safe initialization
+    # phase of the Jonker-Volgenant algorithm, vectorized) ---------------
+    # u_i = min_j cost[i, j]; match each valid row to its argmin column
+    # unless another (lower-index) row claims the same column. This keeps
+    # the successive-shortest-path loop below EXACT: duals stay feasible
+    # (cost[i,j] - u_i - v_j >= 0 with v = 0), every warm-start pair is
+    # tight (cost[i,j*] = u_i), and v = 0 preserves the rectangular-dual
+    # requirement that UNUSED columns have v_j <= 0 (which is why a
+    # column-reduction start — v_j = column minima — would be wrong here:
+    # an unmatched column with negative v violates complementary
+    # slackness and yields suboptimal assignments). With R << C argmin
+    # collisions are rare, so most rows skip their augmenting search
+    # entirely; under the (layers x batch) vmap those searches run in
+    # lock step, so the sequential iteration count — the set loss's real
+    # cost on TPU, ROOFLINE.md §6 — drops by the fraction of rows
+    # assigned here.
+    row_min = cost.min(axis=1)  # (R,)
+    j_star = jnp.argmin(cost, axis=1).astype(jnp.int32)  # (R,)
+    row_ids = jnp.arange(R, dtype=jnp.int32)
+    # contested columns: lowest row index wins (R = "none" sentinel)
+    claim = jnp.where(row_valid, j_star, C)
+    r_of_col = jnp.full((C + 1,), R, jnp.int32).at[claim].min(row_ids)
+    pre = row_valid & (r_of_col[claim] == row_ids)  # (R,)
+
     def assign_row(i, carry):
         u, v, p = carry  # u:(R+1,), v:(C+1,), p:(C+1,) col->row, -1 = free
-        # Padding rows skip the whole augmenting search: leaving p[VIRT] = -1
-        # makes both while_loops below exit immediately, so u/v/p are
-        # untouched and (under vmap) padded rows add no lock-step iterations.
-        p = p.at[VIRT].set(jnp.where(row_valid[i], i, -1))
+        # Padding rows AND warm-start-assigned rows skip the augmenting
+        # search: leaving p[VIRT] = -1 makes both while_loops below exit
+        # immediately, so u/v/p are untouched and (under vmap) such rows
+        # add no lock-step iterations.
+        p = p.at[VIRT].set(jnp.where(row_valid[i] & ~pre[i], i, -1))
         minv0 = jnp.full((C,), _INF, jnp.float32)
         way0 = jnp.full((C,), VIRT, jnp.int32)
         used0 = jnp.zeros((C + 1,), jnp.bool_)
@@ -95,9 +120,17 @@ def lap_solve(cost: jax.Array, row_valid: jax.Array) -> jax.Array:
         _, p = jax.lax.while_loop(aug_cond, aug_body, (j0, p))
         return u, v, p
 
-    u0 = jnp.zeros((R + 1,), jnp.float32)
+    # u_i = row minimum for every valid row (rows that still augment start
+    # their Dijkstra from the same tight reduced costs)
+    u0 = jnp.concatenate(
+        [jnp.where(row_valid, row_min, 0.0), jnp.zeros((1,), jnp.float32)]
+    )
     v0 = jnp.zeros((C + 1,), jnp.float32)
     p0 = jnp.full((C + 1,), -1, jnp.int32)
+    # seed the warm-start matching: p[j_star[i]] = i for pre-assigned rows
+    p0 = p0.at[jnp.where(pre, j_star, C)].set(
+        jnp.where(pre, row_ids, -1)
+    ).at[VIRT].set(-1)
     _, _, p = jax.lax.fori_loop(0, R, assign_row, (u0, v0, p0))
 
     # Invert col->row into row->col.

@@ -103,3 +103,23 @@ def test_padded_rows_never_clobber_real_matches():
     # every other query is background
     others = np.setdiff1d(np.arange(Q), matched)
     assert (np.asarray(labels_q)[others] == C).all()
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_lap_matches_scipy_flagship_shape(seed):
+    """Round-5 warm-start regression at the flagship matching shape
+    (max_gt=128 GT rows x 900 queries): the row-reduction initialization
+    must leave the assignment exactly optimal."""
+    rng = np.random.RandomState(100 + seed)
+    # matching-shaped cost: focal-like class cost + L1 distance structure
+    # (correlated columns — harder tie/collision structure than iid randn)
+    q = rng.randn(900, 2) * 20
+    g = rng.randn(128, 2) * 20
+    cost = np.abs(q[:, None, :] - g[None, :, :]).sum(-1).T.astype(np.float32)
+    cost += rng.randn(128, 900).astype(np.float32)
+    valid = np.ones(128, np.bool_)
+    col = np.asarray(lap_solve(jnp.asarray(cost), jnp.asarray(valid)))
+    assert len(set(col.tolist())) == 128
+    got = cost[np.arange(128), col].sum()
+    want = scipy_cost(cost.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
