@@ -41,10 +41,13 @@ run v2 --config synth_small_v2 --steps 8000 --scenes 84 --val-scenes 6 \
     --no-velocity-hue --eval-every 1000 --floor 0.10 --mave-ceiling 1.182 \
     --save-ckpt /root/work/synthv2_ckpt --resume --out-dir /tmp/petr_synth_v2
 
-run r50dcn --config synth_small_r50dcn --steps 4000 --scenes 84 --val-scenes 6 \
+# measured round 5: PASSED at 8k steps — held-out mAP 0.128 (floor 0.05),
+# bf16, zero nonfinite steps; the 4-6k floor crossing matches the V-39
+# baseline's curve (mAP 0.001 @ 4k -> 0.056 @ 6k -> 0.128 @ 8k).
+run r50dcn --config synth_small_r50dcn --steps 8000 --scenes 84 --val-scenes 6 \
     --eval-every 2000 --floor 0.05 \
     --save-ckpt /root/work/synthr50_ckpt --resume --out-dir /tmp/petr_synth_r50dcn
 
-run depthr --config synth_small_depthr --steps 4000 --scenes 84 --val-scenes 6 \
+run depthr --config synth_small_depthr --steps 8000 --scenes 84 --val-scenes 6 \
     --eval-every 2000 --floor 0.05 \
     --save-ckpt /root/work/synthdepthr_ckpt --resume --out-dir /tmp/petr_synth_depthr
