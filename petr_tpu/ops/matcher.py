@@ -69,13 +69,27 @@ def lap_solve(cost: jax.Array, row_valid: jax.Array) -> jax.Array:
     r_of_col = jnp.full((C + 1,), R, jnp.int32).at[claim].min(row_ids)
     pre = row_valid & (r_of_col[claim] == row_ids)  # (R,)
 
-    def assign_row(i, carry):
+    # Compact the rows that still need an augmenting search into a dense
+    # prefix, and drive them with a `while k < n_free` loop instead of a
+    # fori over all R rows. This is THE lever under vmap: per-lane
+    # warm-start misses land on DIFFERENT rows in different lanes, so a
+    # row-indexed fori still executes ~every row in lock step (any lane
+    # augmenting at row i stalls all lanes there — measured 308 ms on the
+    # L6 x B4 flagship shape, no better than no warm start); a compacted
+    # free-row loop runs max-over-lanes(n_free) iterations (~10% of R).
+    # Successive-shortest-path augmentation is order-independent, so
+    # processing free rows in sorted order preserves exact optimality.
+    free_sorted = jnp.sort(jnp.where((~pre) & row_valid, row_ids, R))  # (R,)
+    n_free = jnp.sum((~pre) & row_valid)
+
+    def assign_row(k, carry):
         u, v, p = carry  # u:(R+1,), v:(C+1,), p:(C+1,) col->row, -1 = free
-        # Padding rows AND warm-start-assigned rows skip the augmenting
-        # search: leaving p[VIRT] = -1 makes both while_loops below exit
-        # immediately, so u/v/p are untouched and (under vmap) such rows
-        # add no lock-step iterations.
-        p = p.at[VIRT].set(jnp.where(row_valid[i] & ~pre[i], i, -1))
+        # Lanes whose free rows are exhausted (k >= n_free under a vmapped
+        # peer's longer loop) set p[VIRT] = -1, which makes both
+        # while_loops below exit immediately, so u/v/p are untouched.
+        live = k < n_free
+        i = jnp.minimum(free_sorted[k], R - 1)  # clamp the R sentinel
+        p = p.at[VIRT].set(jnp.where(live, i, -1))
         minv0 = jnp.full((C,), _INF, jnp.float32)
         way0 = jnp.full((C,), VIRT, jnp.int32)
         used0 = jnp.zeros((C + 1,), jnp.bool_)
@@ -118,7 +132,7 @@ def lap_solve(cost: jax.Array, row_valid: jax.Array) -> jax.Array:
             return j1, p
 
         _, p = jax.lax.while_loop(aug_cond, aug_body, (j0, p))
-        return u, v, p
+        return k + 1, (u, v, p)
 
     # u_i = row minimum for every valid row (rows that still augment start
     # their Dijkstra from the same tight reduced costs)
@@ -131,7 +145,11 @@ def lap_solve(cost: jax.Array, row_valid: jax.Array) -> jax.Array:
     p0 = p0.at[jnp.where(pre, j_star, C)].set(
         jnp.where(pre, row_ids, -1)
     ).at[VIRT].set(-1)
-    _, _, p = jax.lax.fori_loop(0, R, assign_row, (u0, v0, p0))
+    _, (_, _, p) = jax.lax.while_loop(
+        lambda s: s[0] < n_free,
+        lambda s: assign_row(s[0], s[1]),
+        (jnp.int32(0), (u0, v0, p0)),
+    )
 
     # Invert col->row into row->col.
     col_ids = jnp.arange(C, dtype=jnp.int32)
