@@ -113,12 +113,29 @@ def main():
         print(json.dumps(rec), flush=True)
         del state, sharded, batches
     if args.out:
+        payload = {"config": args.config, "virtual_cpu": args.virtual,
+                   "batch_per_device": args.batch_per_device,
+                   "protocol": "weak scaling: fixed per-device batch, "
+                               "efficiency = t(1)/t(n)",
+                   "results": results}
+        if args.virtual:
+            # Virtual devices oversubscribe the host's cores, so wall-clock
+            # efficiency conflates core contention with partitioning
+            # overhead; keep the honest reading attached to the artifact.
+            total = [r["samples_per_s"] for r in results]
+            payload["interpretation"] = (
+                "Virtual CPU devices SHARE the host's cores, so ms/step "
+                "grows with the global batch (weak scaling adds real compute "
+                "on fixed silicon) and wall-clock 'weak_scaling_efficiency' "
+                "conflates core oversubscription with partitioning overhead. "
+                "The meaningful in-container signal is total samples/s on "
+                f"the fixed silicon: {total[0]:.2f} -> {total[-1]:.2f} from "
+                f"{results[0]['devices']} to {results[-1]['devices']} "
+                "devices. Real ICI efficiency requires a real pod "
+                "(BASELINE.md >=80% target); run this same CLI there "
+                "without --virtual.")
         with open(args.out, "w") as f:
-            json.dump({"config": args.config, "virtual_cpu": args.virtual,
-                       "batch_per_device": args.batch_per_device,
-                       "protocol": "weak scaling: fixed per-device batch, "
-                                   "efficiency = t(1)/t(n)",
-                       "results": results}, f, indent=1)
+            json.dump(payload, f, indent=1)
         print(f"wrote {args.out}", flush=True)
     return results
 
