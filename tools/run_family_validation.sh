@@ -31,14 +31,19 @@ run v1_nohue --config synth_small --steps 6000 --scenes 84 --val-scenes 6 \
     --no-velocity-hue --eval-every 4000 --floor 0.10 \
     --save-ckpt /root/work/synthv1_ckpt --out-dir /tmp/petr_synth_nohue_v1
 
-# measured round 4: mAP 0.3129 / NDS 0.3078 at 8k steps (2.0x the
-# single-frame row); mAVE 1.504 did NOT beat the 1.182 ceiling — the
-# velocity head converges to v=0 at this budget (README table note).
+# measured round 4 (8k steps, cosine to 4e-5): mAP 0.3129 / NDS 0.3078
+# (2.0x the single-frame row) but mAVE 1.504 — the velocity head
+# converged to v=0 under the decayed LR. The round-5 recipe holds LR
+# constant after warmup (--min-lr-ratio 1.0, the overfit probe's regime)
+# and doubles the velocity code weights (tools/run_v2_velocity_r5.sh is
+# the OOM-restart-looped launcher for this row).
 # 12-view runs are host-OOM-killed by relay-buffer growth near ~4.8k
 # steps: run under an OOM-restart loop (rc 137 -> rerun; --resume picks
 # up the latest eval-boundary checkpoint).
-run v2 --config synth_small_v2 --steps 8000 --scenes 84 --val-scenes 6 \
-    --no-velocity-hue --eval-every 1000 --floor 0.10 --mave-ceiling 1.182 \
+run v2 --config synth_small_v2 --steps 12000 --scenes 84 --val-scenes 6 \
+    --no-velocity-hue --eval-every 500 --floor 0.10 --mave-ceiling 1.182 \
+    --probe-velocity --lr 2e-4 --min-lr-ratio 1.0 \
+    --set 'train.optim.code_weights=(1.0,1.0,1.0,1.0,1.0,1.0,1.0,1.0,2.0,2.0)' \
     --save-ckpt /root/work/synthv2_ckpt --resume --out-dir /tmp/petr_synth_v2
 
 # measured round 5: PASSED at 8k steps — held-out mAP 0.128 (floor 0.05),
